@@ -1,0 +1,82 @@
+"""Sinusoidal positional embeddings (PIPS / PIPS++ conventions).
+
+These must match the reference bit-for-bit because converted PIPS checkpoints
+expect their exact feature layout:
+  - get_3d_sincos_embedding == reference utils/misc.py:30 `get_3d_embedding`
+  - posemb_sincos_2d_xy    == reference utils/misc.py:10 `posemb_sincos_2d_xy`
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def get_3d_sincos_embedding(
+    xyz: jnp.ndarray, num_channels: int, cat_coords: bool = True
+) -> jnp.ndarray:
+    """PIPS flow sincos embedding for [B, N, 3] (dx, dy, t) vectors.
+
+    Feature layout (reference misc.py:37-54): frequencies
+    f_k = 2k * (1000 / C) for k in [0, C/2); per coordinate v the C features
+    interleave slot 2k = sin(v * f_k), slot 2k+1 = cos(v * f_k); the three
+    per-coordinate blocks concatenate as [emb_x, emb_y, emb_z] and, if
+    cat_coords, the raw (x, y, z) are appended at the END.
+    Returns [B, N, 3 * C (+3)].
+    """
+    b, n, d = xyz.shape
+    assert d == 3
+    c = num_channels
+    div_term = (
+        jnp.arange(0, c, 2, dtype=jnp.float32) * (1000.0 / c)
+    ).reshape(1, 1, c // 2)
+
+    def emb(v):  # v: [B, N, 1] -> [B, N, C] interleaved sin/cos
+        ang = v * div_term
+        s = jnp.sin(ang)[..., None]  # [B, N, C/2, 1]
+        co = jnp.cos(ang)[..., None]
+        return jnp.concatenate([s, co], axis=-1).reshape(b, n, c)
+
+    pe = jnp.concatenate(
+        [emb(xyz[..., 0:1]), emb(xyz[..., 1:2]), emb(xyz[..., 2:3])], axis=-1
+    )
+    if cat_coords:
+        pe = jnp.concatenate([pe, xyz], axis=-1)
+    return pe
+
+
+def posemb_sincos_2d_xy(
+    xy: jnp.ndarray, num_channels: int, temperature: float = 10000.0,
+    cat_coords: bool = False,
+) -> jnp.ndarray:
+    """PIPS++ 2D sincos embedding for [B, S, 2] coords.
+
+    Layout (reference misc.py:10-27): omega_k = 1 / T^(k / (C/4 - 1)) for
+    k in [0, C/4); features = [sin(x*w), cos(x*w), sin(y*w), cos(y*w)]
+    concatenated blockwise; raw (x, y) appended at the end if cat_coords.
+    Returns [B, S, C (+2)].
+    """
+    b, s, d = xy.shape
+    assert d == 2
+    c = num_channels
+    assert c % 4 == 0, "feature dimension must be multiple of 4 for sincos emb"
+    omega = jnp.arange(c // 4, dtype=jnp.float32) / (c // 4 - 1)
+    omega = 1.0 / (temperature ** omega)
+
+    x = xy[..., 0:1] * omega  # [B, S, C/4]
+    y = xy[..., 1:2] * omega
+    pe = jnp.concatenate(
+        [jnp.sin(x), jnp.cos(x), jnp.sin(y), jnp.cos(y)], axis=-1
+    )
+    if cat_coords:
+        pe = jnp.concatenate([pe, xy], axis=-1)
+    return pe
+
+
+def get_1d_sincos_embedding(
+    x: jnp.ndarray, dim: int, temperature: float = 10000.0
+) -> jnp.ndarray:
+    """Generic [..., ] -> [..., dim] transformer sincos embedding."""
+    half = dim // 2
+    freqs = jnp.arange(half, dtype=jnp.float32)
+    inv = 1.0 / (temperature ** (freqs / half))
+    ang = x[..., None] * inv
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
