@@ -1,0 +1,269 @@
+"""SAM ViT-det image encoder, TPU-native.
+
+Re-implements the architecture consumed by the reference through the external
+`segment_anything` package (SURVEY.md §2.9; dims wired from
+configs/model/sam/image_encoder/vit_base.yaml: depth 12/24/32, embed
+768/1024/1280, window 14, designated global-attention layers), as a Flax
+module designed for XLA/TPU:
+
+  - NHWC layout end-to-end; the token grid stays [B, H, W, C] and window
+    partitioning is a reshape/transpose (no gathers).
+  - Decomposed relative-position attention is computed with einsums against
+    the interpolated rel-pos tables — matmuls on the MXU, not gathers.
+  - A configurable compute dtype (bf16 by default on TPU) with f32 softmax
+    accumulation; parameters stay f32.
+  - All shapes static: padding for the 14-window partition of the 64x64 token
+    grid is baked at trace time.
+
+Weight compatibility: parameter tree mirrors the original SAM checkpoint
+structure 1:1 (see utils/checkpoint.py for the torch->flax key mapping), so
+public sam_vit_{b,l,h}.pth checkpoints convert losslessly.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+# Canonical SAM encoder variants (embed_dim, depth, num_heads, global_attn_layers)
+VIT_VARIANTS = {
+    "vit_b": dict(embed_dim=768, depth=12, num_heads=12,
+                  global_attn_indexes=(2, 5, 8, 11)),
+    "vit_l": dict(embed_dim=1024, depth=24, num_heads=16,
+                  global_attn_indexes=(5, 11, 17, 23)),
+    "vit_h": dict(embed_dim=1280, depth=32, num_heads=16,
+                  global_attn_indexes=(7, 15, 23, 31)),
+}
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over the last axis of NHWC maps (SAM 'neck' LN)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * weight + bias).astype(x.dtype)
+
+
+def _rel_pos_table(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+    """Select/interpolate the relative position table to [q_size, k_size, head_dim].
+
+    The checkpoint stores rel_pos for max distance (2*size - 1). When q/k sizes
+    match the table, this is a static slice-free take; trace-time constants mean
+    XLA folds the index arithmetic away.
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        # Linear-resize the table (done once per jit trace; matmul-based).
+        from ...ops.resize import resize_bilinear
+
+        table = rel_pos[None, :, :, None]  # [1, L, C, 1]
+        table = resize_bilinear(
+            table, (max_rel_dist, rel_pos.shape[1]), align_corners=False
+        )
+        rel_pos = table[0, :, :, 0]
+    # relative coordinate index grid (static numpy -> constant folded)
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[jnp.asarray(rel.astype(np.int64))]  # [q, k, C]
+
+
+def _add_decomposed_rel_pos(
+    attn: jnp.ndarray,
+    q: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: Tuple[int, int],
+    k_hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Add decomposed relative position bias to attention logits.
+
+    attn: [B*nh, q_h*q_w, k_h*k_w]; q: [B*nh, q_h*q_w, head_dim].
+    bias[h_q, w_q, h_k, w_k] = q . Rh[h_q, h_k] + q . Rw[w_q, w_k]
+    computed as two einsums (MXU) instead of gathered adds.
+    """
+    q_h, q_w = q_hw
+    k_h, k_w = k_hw
+    rh = _rel_pos_table(rel_pos_h, q_h, k_h)  # [q_h, k_h, C]
+    rw = _rel_pos_table(rel_pos_w, q_w, k_w)  # [q_w, k_w, C]
+
+    rq = q.reshape(-1, q_h, q_w, q.shape[-1])
+    bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh.astype(q.dtype))
+    bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw.astype(q.dtype))
+    attn = attn.reshape(-1, q_h, q_w, k_h, k_w)
+    attn = attn + bias_h[:, :, :, :, None] + bias_w[:, :, :, None, :]
+    return attn.reshape(-1, q_h * q_w, k_h * k_w)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over an NHWC token grid with optional rel-pos."""
+
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: Optional[Tuple[int, int]] = None  # (H, W) for rel-pos tables
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv", dtype=self.dtype)(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.num_heads, h * w, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = (q * scale) @ jnp.swapaxes(k, -2, -1)
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
+            )
+            attn = _add_decomposed_rel_pos(
+                attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w)
+            )
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = attn @ v
+        out = out.reshape(b, self.num_heads, h * w, head_dim)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, h, w, c)
+        return nn.Dense(c, name="proj", dtype=self.dtype)(out)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """[B, H, W, C] -> [B * nWin, win, win, C] with zero padding; returns padded HW."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    x: jnp.ndarray, window: int, padded_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Inverse of window_partition, cropping padding."""
+    hp, wp = padded_hw
+    h, w = hw
+    b = x.shape[0] // ((hp // window) * (wp // window))
+    x = x.reshape(b, hp // window, wp // window, window, window, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+class Block(nn.Module):
+    """ViT-det block: (windowed) rel-pos attention + MLP, pre-norm residual."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    window_size: int = 0  # 0 = global attention
+    input_size: Optional[Tuple[int, int]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
+
+        if self.window_size > 0:
+            hw = (x.shape[1], x.shape[2])
+            x, padded_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = self.input_size
+
+        x = Attention(
+            num_heads=self.num_heads,
+            input_size=attn_size,
+            name="attn",
+            dtype=self.dtype,
+        )(x)
+
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, padded_hw, hw)
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
+        y = nn.Dense(int(c * self.mlp_ratio), name="mlp_lin1", dtype=self.dtype)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, name="mlp_lin2", dtype=self.dtype)(y)
+        return x + y
+
+
+class ImageEncoderViT(nn.Module):
+    """SAM image encoder: 1024x1024x3 -> 64x64x256 embedding."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
+    use_abs_pos: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, H, W, 3] normalized float; returns [B, H/16, W/16, out_chans]."""
+        grid = self.img_size // self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            name="patch_embed",
+            dtype=self.dtype,
+        )(x)
+
+        if self.use_abs_pos:
+            pos_embed = self.param(
+                "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
+            )
+            x = x + pos_embed.astype(x.dtype)
+
+        for i in range(self.depth):
+            x = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                window_size=0 if i in self.global_attn_indexes else self.window_size,
+                input_size=(grid, grid),
+                name=f"blocks_{i}",
+                dtype=self.dtype,
+            )(x)
+
+        # Neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d, all in NHWC.
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, name="neck_conv1",
+                    dtype=self.dtype)(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
+                    name="neck_conv2", dtype=self.dtype)(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x
+
+
+def build_image_encoder(variant: str, dtype: Any = jnp.float32, **kw) -> ImageEncoderViT:
+    cfg = dict(VIT_VARIANTS[variant])
+    cfg.update(kw)
+    return ImageEncoderViT(dtype=dtype, **cfg)

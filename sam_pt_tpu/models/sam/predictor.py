@@ -1,0 +1,145 @@
+"""Batched SAM predictor for precomputed embeddings.
+
+The reference's SamPredictor processes ONE image per `set_image` call and one
+prompt set per `predict_torch` call, recomputing the ViT encoder per video
+frame (sam_pt/modeling/sam_pt.py:849) — the dominant cost. This predictor
+inverts that (SURVEY.md §7 'guiding inversions'):
+
+  - `encode_frames` embeds a whole batch of frames in one jitted call;
+  - `predict` decodes masks for a whole [batch] of (embedding, prompt-set)
+    pairs in one jitted call, with padded fixed-size point arrays
+    (label -1 = padding) instead of ragged per-frame visible-point lists;
+  - prompt chaining (negative-point two-pass, sam_pt.py:791-807) and
+    iterative box refinement (sam_pt.py:809-828) are expressed as further
+    batched decoder calls / lax.fori_loop inside jit by the orchestrator.
+
+Coordinates: callers work in ORIGINAL image pixel space; the predictor scales
+them to model space (ResizeLongestSide.apply_coords semantics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.resize import (
+    get_longest_side_target_hw,
+    resize_bilinear,
+)
+from .sam_model import Sam
+
+
+class SamPredictor:
+    """Stateless-by-design predictor: params are passed in, jits are cached."""
+
+    def __init__(self, model: Sam, params, *, antialias: bool = True):
+        self.model = model
+        self.params = params
+        self.antialias = antialias
+        self._encode_jit = jax.jit(self._encode)
+        self._decode_jit = jax.jit(self._decode)
+
+    # ------------------------------------------------------------------
+    # Encoding
+    # ------------------------------------------------------------------
+    def _encode(self, params, resized_images: jnp.ndarray) -> jnp.ndarray:
+        return self.model.apply(params, resized_images, method=Sam.encode_images)
+
+    def encode_frames(
+        self, images: jnp.ndarray, original_hw: Tuple[int, int]
+    ) -> jnp.ndarray:
+        """images: [B, H, W, 3] uint8/float RGB in original resolution.
+
+        Returns image embeddings [B, g, g, 256]. The longest-side resize is a
+        matmul-based op and runs on device as part of the program.
+        """
+        th, tw = get_longest_side_target_hw(
+            original_hw[0], original_hw[1], self.model.image_size
+        )
+        images = resize_bilinear(
+            jnp.asarray(images).astype(jnp.float32),
+            (th, tw),
+            antialias=self.antialias,
+        )
+        return self._encode_jit(self.params, images)
+
+    # ------------------------------------------------------------------
+    # Decoding
+    # ------------------------------------------------------------------
+    def scale_coords(
+        self, coords: jnp.ndarray, original_hw: Tuple[int, int]
+    ) -> jnp.ndarray:
+        """Original-pixel (x, y) -> model-input (1024-space) coords."""
+        th, tw = get_longest_side_target_hw(
+            original_hw[0], original_hw[1], self.model.image_size
+        )
+        scale = jnp.array(
+            [tw / original_hw[1], th / original_hw[0]], dtype=jnp.float32
+        )
+        return coords * scale
+
+    def _decode(
+        self,
+        params,
+        embeddings: jnp.ndarray,
+        points: jnp.ndarray,
+        labels: jnp.ndarray,
+        mask_input: Optional[jnp.ndarray],
+        mask_valid: Optional[jnp.ndarray],
+    ):
+        return self.model.apply(
+            params,
+            embeddings,
+            points,
+            labels,
+            mask_input,
+            mask_valid,
+            method=Sam.decode_masks,
+        )
+
+    def predict(
+        self,
+        embeddings: jnp.ndarray,  # [B, g, g, 256]
+        points: jnp.ndarray,      # [B, N, 2] original-pixel coords
+        labels: jnp.ndarray,      # [B, N] int32, -1 = pad
+        original_hw: Tuple[int, int],
+        mask_input: Optional[jnp.ndarray] = None,  # [B, 4g, 4g, 1]
+        mask_valid: Optional[jnp.ndarray] = None,
+        multimask_output: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Batched predict.
+
+        Returns (low_res_logits [B, K, 4g, 4g], iou_pred [B, K], token_slice)
+        with K = 3 if multimask else 1 (SAM output-token selection semantics).
+        """
+        pts = self.scale_coords(jnp.asarray(points, jnp.float32), original_hw)
+        masks, iou = self._decode_jit(
+            self.params, embeddings, pts, jnp.asarray(labels, jnp.int32),
+            mask_input, mask_valid,
+        )
+        if multimask_output:
+            return masks[:, 1:4], iou[:, 1:4], slice(1, 4)
+        return masks[:, 0:1], iou[:, 0:1], slice(0, 1)
+
+    # ------------------------------------------------------------------
+    # Postprocess
+    # ------------------------------------------------------------------
+    def upscale_logits(
+        self, low_res_logits: jnp.ndarray, original_hw: Tuple[int, int]
+    ) -> jnp.ndarray:
+        """[.., 4g, 4g] low-res logits -> [.., H, W] original-resolution logits.
+
+        SAM postprocess_masks semantics: bilinear to model size, crop the
+        padded region, bilinear to the original size.
+        """
+        th, tw = get_longest_side_target_hw(
+            original_hw[0], original_hw[1], self.model.image_size
+        )
+        x = low_res_logits[..., None]  # channels-last for resize
+        x = resize_bilinear(x, (self.model.image_size, self.model.image_size))
+        x = x[..., :th, :tw, :]
+        x = resize_bilinear(x, original_hw)
+        return x[..., 0]

@@ -1,0 +1,109 @@
+"""The composed SAM model (image encoder + prompt encoder + mask decoder).
+
+Replaces the external `segment_anything.modeling.Sam` consumed by the reference
+(SURVEY.md §2.9; normalization constants from configs/model/sam/sam_vit_base.yaml:
+pixel_mean [123.675, 116.28, 103.53], pixel_std [58.395, 57.12, 57.375],
+image_size 1024, embedding 64, mask_threshold 0.0).
+"""
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .image_encoder import ImageEncoderViT, VIT_VARIANTS
+from .prompt_encoder import PromptEncoder
+from .mask_decoder import MaskDecoder
+
+PIXEL_MEAN = (123.675, 116.28, 103.53)
+PIXEL_STD = (58.395, 57.12, 57.375)
+
+
+class Sam(nn.Module):
+    """SAM: promptable segmentation. mask_threshold = 0.0 (logits > 0)."""
+
+    encoder_variant: str = "vit_b"
+    image_size: int = 1024
+    prompt_embed_dim: int = 256
+    mask_threshold: float = 0.0
+    pixel_mean: Tuple[float, float, float] = PIXEL_MEAN
+    pixel_std: Tuple[float, float, float] = PIXEL_STD
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = VIT_VARIANTS[self.encoder_variant]
+        grid = self.image_size // 16
+        self.image_encoder = ImageEncoderViT(
+            img_size=self.image_size,
+            out_chans=self.prompt_embed_dim,
+            dtype=self.dtype,
+            **cfg,
+        )
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=self.prompt_embed_dim,
+            image_embedding_size=(grid, grid),
+            input_image_size=(self.image_size, self.image_size),
+            dtype=self.dtype,
+        )
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=self.prompt_embed_dim, dtype=self.dtype
+        )
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] float RGB 0-255 (already longest-side resized) ->
+        normalized + zero-padded [B, image_size, image_size, 3]."""
+        mean = jnp.array(self.pixel_mean, dtype=jnp.float32)
+        std = jnp.array(self.pixel_std, dtype=jnp.float32)
+        x = (images.astype(jnp.float32) - mean) / std
+        b, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, self.image_size - h), (0, self.image_size - w), (0, 0)))
+        return x.astype(self.dtype)
+
+    def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[B, h, w, 3] float 0-255 (longest side == image_size after resize)
+        -> image embeddings [B, grid, grid, 256]."""
+        return self.image_encoder(self.preprocess(images))
+
+    def decode_masks(
+        self,
+        image_embeddings: jnp.ndarray,  # [B, g, g, 256]
+        points: jnp.ndarray,            # [B, N, 2] in model (1024) coords
+        labels: jnp.ndarray,            # [B, N] int32
+        mask_input: Optional[jnp.ndarray] = None,  # [B, 4g, 4g, 1] logits
+        mask_valid: Optional[jnp.ndarray] = None,  # [B] bool
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched prompt->mask decoding.
+
+        Returns (low_res_logits [B, T, 4g, 4g], iou_pred [B, T]) where
+        T = 4 mask tokens; callers slice token 0 (single) or 1:4 (multi).
+        """
+        sparse, dense = self.prompt_encoder(points, labels, mask_input, mask_valid)
+        image_pe = self.prompt_encoder.get_dense_pe()
+        masks, iou_pred = self.mask_decoder(
+            image_embeddings.astype(self.dtype),
+            image_pe.astype(self.dtype),
+            sparse.astype(self.dtype),
+            dense.astype(self.dtype),
+        )
+        return masks.astype(jnp.float32), iou_pred.astype(jnp.float32)
+
+    def __call__(self, images, points, labels):
+        """Convenience end-to-end forward (used for init/shape-checking).
+
+        Passes a dummy, disabled mask input so flax init traces the mask
+        downscaling path too; mask_valid=False keeps no-mask semantics.
+        """
+        emb = self.encode_images(images)
+        b = points.shape[0]
+        g4 = 4 * (self.image_size // 16)
+        dummy_mask = jnp.zeros((b, g4, g4, 1), jnp.float32)
+        return self.decode_masks(
+            emb, points, labels, dummy_mask, jnp.zeros((b,), bool)
+        )
+
+
+def build_sam(variant: str = "vit_b", dtype: Any = jnp.float32, **kw) -> Sam:
+    return Sam(encoder_variant=variant, dtype=dtype, **kw)

@@ -1,0 +1,187 @@
+"""SAM stack tests: shape contracts + numerical micro-references.
+
+The decomposed rel-pos attention bias is checked against an independent torch
+transcription of the published algorithm; full-checkpoint numerical parity is
+exercised separately by the checkpoint converter tests.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from sam_pt_tpu.models.sam.image_encoder import (
+    Attention,
+    ImageEncoderViT,
+    LayerNorm2d,
+    VIT_VARIANTS,
+    window_partition,
+    window_unpartition,
+)
+from sam_pt_tpu.models.sam.mask_decoder import MaskDecoder
+from sam_pt_tpu.models.sam.prompt_encoder import PromptEncoder
+from sam_pt_tpu.models.sam.sam_model import Sam
+
+TINY = dict(embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,),
+            window_size=2)
+
+
+class TestWindowing:
+    def test_partition_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 10, 12, 8)).astype(np.float32))
+        wins, padded = window_partition(x, 4)
+        assert wins.shape == (2 * 3 * 3, 4, 4, 8)
+        back = window_unpartition(wins, 4, padded, (10, 12))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+class TestLayerNorm2d:
+    def test_matches_torch_channel_norm(self, rng):
+        x = rng.standard_normal((2, 5, 6, 16)).astype(np.float32)
+        ln = LayerNorm2d()
+        params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        # non-trivial weights
+        params = {"params": {
+            "weight": jnp.asarray(rng.standard_normal(16).astype(np.float32)),
+            "bias": jnp.asarray(rng.standard_normal(16).astype(np.float32)),
+        }}
+        got = ln.apply(params, jnp.asarray(x))
+
+        t = torch.from_numpy(x)
+        mu = t.mean(dim=-1, keepdim=True)
+        var = ((t - mu) ** 2).mean(dim=-1, keepdim=True)
+        ref = (t - mu) / torch.sqrt(var + 1e-6)
+        ref = ref * torch.from_numpy(np.asarray(params["params"]["weight"]))
+        ref = ref + torch.from_numpy(np.asarray(params["params"]["bias"]))
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def torch_decomposed_rel_pos_reference(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
+    """Independent torch transcription of the published ViTDet algorithm."""
+    def get_rel_pos(q_size, k_size, rel_pos):
+        max_rel_dist = 2 * max(q_size, k_size) - 1
+        assert rel_pos.shape[0] == max_rel_dist
+        q_coords = torch.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+        k_coords = torch.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+        rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+        return rel_pos[rel.long()]
+
+    q_h, q_w = q_hw
+    k_h, k_w = k_hw
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w)
+    B = q.shape[0]
+    r_q = q.reshape(B, q_h, q_w, -1)
+    rel_h = torch.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w = torch.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    attn = attn.view(B, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.view(B, q_h * q_w, k_h * k_w)
+
+
+class TestRelPosAttention:
+    def test_bias_matches_torch_reference(self, rng):
+        from sam_pt_tpu.models.sam.image_encoder import _add_decomposed_rel_pos
+
+        h = w = 5
+        hd = 8
+        attn = rng.standard_normal((3, h * w, h * w)).astype(np.float32)
+        q = rng.standard_normal((3, h * w, hd)).astype(np.float32)
+        rph = rng.standard_normal((2 * h - 1, hd)).astype(np.float32)
+        rpw = rng.standard_normal((2 * w - 1, hd)).astype(np.float32)
+
+        got = _add_decomposed_rel_pos(
+            jnp.asarray(attn), jnp.asarray(q), jnp.asarray(rph),
+            jnp.asarray(rpw), (h, w), (h, w),
+        )
+        ref = torch_decomposed_rel_pos_reference(
+            torch.from_numpy(attn), torch.from_numpy(q),
+            torch.from_numpy(rph), torch.from_numpy(rpw), (h, w), (h, w),
+        )
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-4)
+
+
+class TestEncoderShapes:
+    def test_tiny_encoder_output(self):
+        enc = ImageEncoderViT(img_size=64, out_chans=16, **TINY)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        y = enc.apply(params, x)
+        assert y.shape == (1, 4, 4, 16)
+
+    def test_variants_table(self):
+        assert VIT_VARIANTS["vit_h"]["depth"] == 32
+        assert VIT_VARIANTS["vit_l"]["embed_dim"] == 1024
+
+
+class TestPromptEncoder:
+    @pytest.fixture
+    def pe(self):
+        m = PromptEncoder(
+            embed_dim=32, image_embedding_size=(4, 4), input_image_size=(64, 64)
+        )
+        pts = jnp.zeros((2, 3, 2))
+        lbl = jnp.zeros((2, 3), jnp.int32)
+        masks = jnp.zeros((2, 16, 16, 1))
+        params = m.init(jax.random.PRNGKey(1), pts, lbl, masks)
+        return m, params
+
+    def test_sparse_dense_shapes(self, pe):
+        m, params = pe
+        pts = jnp.array([[[5.0, 6.0], [1.0, 2.0], [0.0, 0.0]]] * 2)
+        lbl = jnp.array([[1, 0, -1]] * 2, jnp.int32)
+        sparse, dense = m.apply(params, pts, lbl)
+        assert sparse.shape == (2, 3, 32)
+        assert dense.shape == (2, 4, 4, 32)
+
+    def test_padding_uses_not_a_point(self, pe):
+        m, params = pe
+        pts = jnp.array([[[5.0, 6.0]]])
+        # padding label -> embedding must equal not_a_point_embed exactly
+        sparse, _ = m.apply(params, pts, jnp.array([[-1]], jnp.int32))
+        expected = params["params"]["not_a_point_embed"]
+        np.testing.assert_allclose(
+            np.asarray(sparse[0, 0]), np.asarray(expected), atol=1e-6
+        )
+
+    def test_mask_valid_switch(self, pe):
+        m, params = pe
+        pts = jnp.zeros((2, 1, 2))
+        lbl = jnp.ones((2, 1), jnp.int32)
+        mask_in = jnp.ones((2, 16, 16, 1))
+        _, dense_valid = m.apply(params, pts, lbl, mask_in,
+                                 jnp.array([True, False]))
+        no_mask = params["params"]["no_mask_embed"]
+        np.testing.assert_allclose(
+            np.asarray(dense_valid[1, 0, 0]), np.asarray(no_mask), atol=1e-6
+        )
+        assert not np.allclose(np.asarray(dense_valid[0, 0, 0]), np.asarray(no_mask))
+
+
+class TestMaskDecoder:
+    def test_output_shapes(self):
+        dec = MaskDecoder(transformer_dim=32)
+        emb = jnp.zeros((2, 4, 4, 32))
+        pe = jnp.zeros((1, 4, 4, 32))
+        sparse = jnp.zeros((2, 5, 32))
+        dense = jnp.zeros((2, 4, 4, 32))
+        params = dec.init(jax.random.PRNGKey(0), emb, pe, sparse, dense)
+        masks, iou = dec.apply(params, emb, pe, sparse, dense)
+        assert masks.shape == (2, 4, 16, 16)
+        assert iou.shape == (2, 4)
+
+
+class TestSamEndToEnd:
+    def test_tiny_sam_forward(self):
+        model = Sam(encoder_variant="vit_b", image_size=64)
+        # monkeypatch variant dims for a tiny smoke config
+        import sam_pt_tpu.models.sam.image_encoder as ie
+        ie.VIT_VARIANTS["vit_tiny_test"] = TINY
+        model = Sam(encoder_variant="vit_tiny_test", image_size=64)
+        imgs = jnp.zeros((1, 64, 64, 3))
+        pts = jnp.array([[[10.0, 20.0], [0.0, 0.0]]])
+        lbl = jnp.array([[1, -1]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), imgs, pts, lbl)
+        masks, iou = model.apply(params, imgs, pts, lbl)
+        assert masks.shape == (1, 4, 16, 16)
+        assert iou.shape == (1, 4)
