@@ -1,0 +1,210 @@
+"""PIPS point tracker: bidirectional chained-window trajectory linking.
+
+Reference semantics (sam_pt/point_tracker/pips/tracker.py): starting at each
+point's query frame, run the PIPS window model over S=8 frames, then advance
+each point's frontier to the latest window frame whose predicted visibility
+clears a threshold that decays by 0.02 whenever no frame clears it
+(:112-148); repeat until the video ends; run the same procedure on the
+time-reversed video and stitch both directions at the query frame (:155-201).
+
+TPU-first re-design:
+  - The BasicEncoder runs ONCE for the whole video (chunk-batched, jitted) —
+    the reference re-encodes all 8 window frames on every linking step
+    (pips.py:453-455).
+  - Window forwards run with ALL N points per call (inactive points are
+    masked on the host when writing results), so the jitted program has one
+    static shape — no recompilation as the frontier set changes.
+  - feat_init is the bilinear sample of the query-frame feature map at the
+    query point (what the reference's extra "init" forward pass ultimately
+    returns, pips.py:469-474) — computed directly, saving a full forward.
+  - Frontier advancement operates on tiny [N] host arrays; device traffic per
+    window is [S, N, 2] + [S, N] floats.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import PointTracker
+from .model import Pips
+from ....ops.sampling import bilinear_sample
+
+
+class PipsPointTracker(PointTracker):
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        stride: int = 4,
+        s: int = 8,
+        initial_next_frame_visibility_threshold: float = 0.9,
+        iters: int = 6,
+        encode_chunk: int = 8,
+        dtype=jnp.float32,
+        params=None,
+    ):
+        self.stride = stride
+        self.s = s
+        self.iters = iters
+        self.vis_threshold0 = initial_next_frame_visibility_threshold
+        self.encode_chunk = encode_chunk
+        self.model = Pips(s=s, stride=stride, dtype=dtype)
+        if params is None and checkpoint_path is not None:
+            from ....utils.checkpoint import load_pips_checkpoint
+
+            params = load_pips_checkpoint(checkpoint_path, self.model)
+        self.params = params
+
+        self._encode = jax.jit(
+            lambda p, rgbs: self.model.apply(p, rgbs, method=Pips.encode_frames)
+        )
+        self._window = jax.jit(self._window_fn, static_argnames=("iters",))
+        self._sample = jax.jit(self._sample_fn)
+        self._gather_window = jax.jit(self._gather_window_fn)
+
+    # -- jitted helpers -------------------------------------------------
+    def _window_fn(self, params, fmaps_win, xys, feat_init, iters):
+        coords, vis_logits, _ = self.model.apply(
+            params, fmaps_win, xys, feat_init, iters=iters
+        )
+        return coords, jax.nn.sigmoid(vis_logits)
+
+    @staticmethod
+    def _sample_fn(fmap, xys, stride):
+        g = xys / stride
+        return bilinear_sample(fmap, g[:, 0], g[:, 1], pad_mode="clamp")
+
+    def _gather_window_fn(self, fmaps, start):
+        t = fmaps.shape[0]
+        idx = jnp.minimum(start + jnp.arange(self.s), t - 1)
+        return jnp.take(fmaps, idx, axis=0)
+
+    # -- parameter init (tests / benchmarks without a checkpoint) -------
+    def init_params(self, key, height: int, width: int, n_points: int = 8):
+        fmaps = jnp.zeros(
+            (self.s, height // self.stride, width // self.stride,
+             self.model.latent_dim)
+        )
+        xys = jnp.zeros((n_points, 2))
+        rgbs = jnp.zeros((1, height, width, 3))
+
+        def _init_all(mod, rgbs, fmaps, xys):
+            mod.encode_frames(rgbs)  # create fnet params too
+            return mod(fmaps, xys, iters=1)
+
+        self.params = self.model.init(key, rgbs, fmaps, xys, method=_init_all)
+        return self.params
+
+    # -- main API -------------------------------------------------------
+    def encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
+        """rgbs [T, H, W, 3] -> fmaps [T, H/stride, W/stride, C], chunked."""
+        t = rgbs.shape[0]
+        chunks = []
+        for i in range(0, t, self.encode_chunk):
+            chunk = jnp.asarray(rgbs[i : i + self.encode_chunk])
+            pad = self.encode_chunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+            out = self._encode(self.params, chunk)
+            chunks.append(out[: self.encode_chunk - pad])
+        return jnp.concatenate(chunks, axis=0)
+
+    def _forward_direction(
+        self, fmaps: jnp.ndarray, query_points: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Chained-window linking in one temporal direction.
+
+        fmaps: [T, H8, W8, C] (device); query_points: [N, 3] (t, x, y) host.
+        Returns host (trajectories [T, N, 2], visibilities [T, N] float).
+        """
+        t = fmaps.shape[0]
+        n = query_points.shape[0]
+        s = self.s
+
+        trajectories = np.zeros((t, n, 2), np.float32)
+        visibilities = np.zeros((t, n), np.float32)
+        start_frames = query_points[:, 0].astype(np.int64)
+        trajectories[start_frames, np.arange(n)] = query_points[:, 1:]
+        visibilities[start_frames, np.arange(n)] = 1.0
+
+        # feat_init: query-frame feature at the query point, per point.
+        feat_init = np.zeros((n, self.model.latent_dim), np.float32)
+        for f in np.unique(start_frames):
+            sel = start_frames == f
+            feats = self._sample(
+                fmaps[int(f)], jnp.asarray(query_points[sel, 1:]), float(self.stride)
+            )
+            feat_init[sel] = np.asarray(feats)
+        feat_init_dev = jnp.asarray(feat_init)
+
+        current_frames = start_frames.copy()
+        for cf in range(t - 1):
+            active = current_frames == cf
+            if not active.any():
+                continue
+            n_missing = max(0, cf + s - t)
+            fmaps_win = self._gather_window(fmaps, cf)
+            coords, vis = self._window(
+                self.params,
+                fmaps_win,
+                jnp.asarray(trajectories[cf]),  # all N points; inactive masked below
+                feat_init_dev,
+                iters=self.iters,
+            )
+            coords = np.asarray(coords)  # [S, N, 2]
+            vis = np.asarray(vis)  # [S, N]
+
+            out_lo, out_hi = 1, s - n_missing
+            frames = slice(cf + out_lo, cf + out_hi)
+            trajectories[frames, active] = coords[out_lo:out_hi, active]
+            visibilities[frames, active] = vis[out_lo:out_hi, active]
+
+            # frontier advancement with decaying visibility threshold
+            thresh = np.where(active, self.vis_threshold0, 0.0)
+            earliest = np.where(active, cf + 1, current_frames)
+            last = np.where(active, cf + s - n_missing - 1, current_frames)
+            nxt = last.copy()
+            while (visibilities[nxt, np.arange(n)] <= thresh).any():
+                below = visibilities[nxt, np.arange(n)] <= thresh
+                nxt = np.where(below, nxt - 1, nxt)
+                wrapped = nxt < earliest
+                thresh = np.where(wrapped, thresh - 0.02, thresh)
+                nxt = np.where(wrapped, last, nxt)
+            current_frames = np.where(active, nxt, current_frames)
+
+        return trajectories, visibilities
+
+    def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
+        """rgbs [B, T, H, W, 3] uint8; query_points [B, N, 3] (t, x, y)."""
+        assert rgbs.shape[0] == 1, "PIPS linking currently runs per-video"
+        rgbs = np.asarray(rgbs)[0]
+        qp = np.asarray(query_points, np.float32)[0]
+        t = rgbs.shape[0]
+        n = qp.shape[0]
+
+        fmaps = self.encode_video(rgbs)
+
+        traj_fwd, vis_fwd = self._forward_direction(fmaps, qp)
+
+        qp_flipped = qp.copy()
+        qp_flipped[:, 0] = t - qp[:, 0] - 1
+        traj_bwd, vis_bwd = self._forward_direction(fmaps[::-1], qp_flipped)
+        traj_bwd = traj_bwd[::-1]
+        vis_bwd = vis_bwd[::-1]
+
+        # stitch at each point's query frame: backward before, forward after
+        starts = qp[:, 0].astype(np.int64)
+        tgrid = np.arange(t)[:, None]
+        before = tgrid < starts[None, :]
+        trajectories = np.where(before[..., None], traj_bwd, traj_fwd)
+        visibilities = np.where(before, vis_bwd, vis_fwd) > 0.5
+
+        return (
+            trajectories[None].astype(np.float32),
+            visibilities[None].astype(np.float32),
+        )
