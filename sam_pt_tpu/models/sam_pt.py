@@ -1,0 +1,522 @@
+"""SAM-PT orchestrator: point tracking + per-frame SAM prompting, batched.
+
+Re-implements the reference `SamPt` (sam_pt/modeling/sam_pt.py) with the
+TPU-first inversion of SURVEY.md §7: instead of `for frame: for mask: SAM(...)`
+with per-call host<->device transfers (reference :848-858), this orchestrator
+
+  1. embeds ALL frames once with the batched SAM encoder,
+  2. assembles FIXED-SHAPE padded point prompts for every (frame, object)
+     pair — variable visible-point sets become label masking (-1 = pad),
+     generalizing the reference's pad-with-invisible trick
+     (superglue/tracker.py:170-182),
+  3. decodes masks for all pairs in chunked batched jitted calls, including
+     the negative-point two-pass chain (reference :791-807) and iterative box
+     refinement (reference :809-828) as further batched passes,
+  4. applies IoU-threshold gating, empty-prompt -inf masking, patch-similarity
+     filtering and out-of-frame marking as vectorized array ops.
+
+Supported feature set tracked against the reference constructor
+(sam_pt/modeling/sam_pt.py:28-116): all flags are accepted; point
+reinitialization (`use_point_reinit`, reference :355-543) is implemented in
+`_forward_w_reinit`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.color import rgb_to_lab
+from ..ops.sampling import patch_sample
+from ..utils.query_points import (
+    extract_corner_points,
+    extract_kmedoid_points,
+    extract_mixed_points,
+    extract_random_mask_points,
+)
+from ..utils.util import PointVisibilityType
+from .sam.predictor import SamPredictor
+from .tracker.api import PointTracker
+
+NEG_INF = -float("inf")
+
+
+class SamPt:
+    def __init__(
+        self,
+        point_tracker: PointTracker,
+        sam_predictor: SamPredictor,
+        sam_iou_threshold: float = 0.7,
+        positive_point_selection_method: str = "kmedoids",
+        negative_point_selection_method: str = "mixed",
+        positive_points_per_mask: int = 8,
+        negative_points_per_mask: int = 1,
+        add_other_objects_positive_points_as_negative_points: bool = False,
+        max_other_objects_positive_points: Optional[int] = None,
+        point_tracker_mask_batch_size: int = 5,
+        iterative_refinement_iterations: int = 0,
+        use_patch_matching_filtering: bool = False,
+        patch_size: int = 3,
+        patch_similarity_threshold: float = 0.01,
+        use_point_reinit: bool = False,
+        reinit_point_tracker_horizon: int = 24,
+        reinit_horizon: int = 24,
+        reinit_variant: str = "reinit-at-median-of-area-diff",
+        sam_decode_chunk: int = 32,
+        sam_encode_chunk: int = 4,
+        seed: int = 72,
+    ):
+        self.point_tracker = point_tracker
+        self.sam_predictor = sam_predictor
+        self.sam_iou_threshold = sam_iou_threshold
+        self.positive_point_selection_method = positive_point_selection_method
+        self.negative_point_selection_method = negative_point_selection_method
+        self.positive_points_per_mask = positive_points_per_mask
+        self.negative_points_per_mask = negative_points_per_mask
+        self.add_other_objects_positive_points_as_negative_points = (
+            add_other_objects_positive_points_as_negative_points
+        )
+        self.max_other_objects_positive_points = max_other_objects_positive_points
+        self.point_tracker_mask_batch_size = point_tracker_mask_batch_size
+        self.iterative_refinement_iterations = iterative_refinement_iterations
+        self.use_patch_matching_filtering = use_patch_matching_filtering
+        self.patch_size = patch_size
+        self.patch_similarity_threshold = patch_similarity_threshold
+        self.use_point_reinit = use_point_reinit
+        self.reinit_point_tracker_horizon = reinit_point_tracker_horizon
+        self.reinit_horizon = reinit_horizon
+        self.reinit_variant = reinit_variant
+        self.sam_decode_chunk = sam_decode_chunk
+        self.sam_encode_chunk = sam_encode_chunk
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    # Entry point
+    # ------------------------------------------------------------------
+    def forward(self, video: Dict) -> Dict:
+        """video dict -> predictions dict (reference sam_pt.py:122-236 contract).
+
+        video keys: 'image' [T, H, W, 3] uint8 (numpy or list of frames),
+        'target_hw' (h, w), and either 'query_points' [M, P, 3] (t, x, y) or
+        'query_masks' [M, H, W] + 'query_point_timestep' [M].
+        """
+        images = np.asarray(video["image"])
+        if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
+            images = images.transpose(0, 2, 3, 1)  # accept NCHW input
+        assert images.dtype == np.uint8, "Input images must be uint8 (0-255)"
+        t, h, w, _ = images.shape
+
+        if video.get("query_masks") is not None:
+            assert video.get("query_points") is None
+            query_masks = np.asarray(video["query_masks"], np.float32)
+            timesteps = np.asarray(video["query_point_timestep"], np.float32)
+            query_points = self.extract_query_points(images, query_masks, timesteps)
+        elif video.get("query_points") is not None:
+            query_points = np.asarray(video["query_points"], np.float32)
+            query_masks = self.extract_query_masks(images, query_points)
+        else:
+            raise ValueError("No query points or masks provided")
+        n_masks, n_points, _ = query_points.shape
+
+        if hasattr(self.point_tracker, "set_masks"):
+            self.point_tracker.set_masks(query_masks)
+
+        if not self.use_point_reinit:
+            trajectories, visibilities, logits, scores, scores_per_frame = (
+                self._forward(images, query_points)
+            )
+        else:
+            trajectories, visibilities, logits, scores, scores_per_frame = (
+                self._forward_w_reinit(images, query_points)
+            )
+
+        target_hw = tuple(video["target_hw"])
+        resize_factor = np.array(
+            [target_hw[1] / w, target_hw[0] / h], np.float32
+        )  # (x, y) scaling
+        if (h, w) != target_hw:
+            from ..ops.resize import resize_bilinear
+
+            logits = np.asarray(
+                resize_bilinear(jnp.asarray(logits)[..., None], target_hw)[..., 0]
+            )
+        trajectories = trajectories * resize_factor
+
+        assert logits.shape == (n_masks, t, *target_hw)
+        assert trajectories.shape == (t, n_masks, n_points, 2)
+        return {
+            "logits": [m for m in logits],
+            "scores": list(np.asarray(scores, np.float64)),
+            "scores_per_frame": np.asarray(scores_per_frame).tolist(),
+            "trajectories": trajectories,
+            "visibilities": visibilities,
+        }
+
+    # ------------------------------------------------------------------
+    # Query preparation
+    # ------------------------------------------------------------------
+    def extract_query_points(
+        self, images: np.ndarray, query_masks: np.ndarray, timesteps: np.ndarray
+    ) -> np.ndarray:
+        """Sample (t, x, y) query points from masks (reference :238-288)."""
+        pos = self._select_points(
+            images, query_masks, timesteps,
+            self.positive_point_selection_method, self.positive_points_per_mask,
+        )
+        if self.negative_points_per_mask > 0:
+            neg = self._select_points(
+                images, 1.0 - query_masks, timesteps,
+                self.negative_point_selection_method, self.negative_points_per_mask,
+            )
+            xy = [np.concatenate([p, n], axis=0) for p, n in zip(pos, neg)]
+        else:
+            xy = pos
+        xy = np.stack(xy, axis=0)  # [M, P, 2]
+        ts = np.broadcast_to(timesteps[:, None, None], (*xy.shape[:2], 1))
+        return np.concatenate([ts, xy], axis=2).astype(np.float32)
+
+    def _select_points(self, images, masks, timesteps, method, n) -> List[np.ndarray]:
+        if method == "kmedoids":
+            return [extract_kmedoid_points(m, n, rng=self.rng) for m in masks]
+        if method == "shi-tomasi":
+            return [
+                extract_corner_points(images[int(t)], m, n, rng=self.rng)
+                for m, t in zip(masks, timesteps)
+            ]
+        if method == "random":
+            return [extract_random_mask_points(m, n, rng=self.rng) for m in masks]
+        if method == "mixed":
+            return extract_mixed_points(list(masks), timesteps, images, n, rng=self.rng)
+        raise NotImplementedError(f"Point selection method {method}")
+
+    def extract_query_masks(
+        self, images: np.ndarray, query_points: np.ndarray
+    ) -> np.ndarray:
+        """Query masks from query points via SAM (reference :308-335)."""
+        frames = images[query_points[:, 0, 0].astype(np.int64)]  # [M, H, W, 3]
+        # each mask's query frame becomes its own "frame" axis entry, with a
+        # single mask per frame (reference :329-335)
+        traj = query_points[:, None, :, 1:]  # [frames=M, masks=1, P, 2]
+        vis = np.ones(traj.shape[:-1], np.float32)
+        _, logits, _ = self._apply_sam(frames, traj, vis)
+        # logits: [masks=1, frames=M, H, W] -> [M, H, W]
+        return (logits[0] > self.sam_predictor.model.mask_threshold).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Plain forward
+    # ------------------------------------------------------------------
+    def _forward(self, images, query_points):
+        trajectories, visibilities = self._track_points(images, query_points)
+        _, logits, scores_per_frame = self._apply_sam(
+            images, trajectories, visibilities
+        )
+        with np.errstate(invalid="ignore"):
+            scores = scores_per_frame.mean(axis=0)
+        return trajectories, visibilities, logits, scores, scores_per_frame
+
+    # ------------------------------------------------------------------
+    # Tracking + filtering
+    # ------------------------------------------------------------------
+    def _track_points(self, images, query_points):
+        """Run the tracker in mask batches; apply patch filtering + OOB marks.
+
+        Returns (trajectories [T, M, P, 2], visibilities [T, M, P]) float32.
+        """
+        t, h, w, _ = images.shape
+        m, p, _ = query_points.shape
+        bs = self.point_tracker_mask_batch_size
+
+        trajs, viss = [], []
+        for i in range(0, m, bs):
+            batch = query_points[i : i + bs].reshape(1, -1, 3)
+            out_t, out_v = self.point_tracker.forward(images[None], batch)
+            nb = min(bs, m - i)
+            trajs.append(out_t[0].reshape(t, nb, p, 2))
+            viss.append(out_v[0].reshape(t, nb, p))
+        trajectories = np.concatenate(trajs, axis=1).astype(np.float32)
+        visibilities = np.concatenate(viss, axis=1).astype(np.float32)
+
+        if self.use_patch_matching_filtering:
+            visibilities = self._patch_filter(
+                images, query_points, trajectories, visibilities
+            )
+
+        # out-of-frame marking (reference :684-690)
+        x, y = trajectories[..., 0], trajectories[..., 1]
+        oob = (x / w < 0.01) | (x / w > 0.99) | (y / h < 0.01) | (y / h > 0.99)
+        visibilities = np.where(
+            oob, float(PointVisibilityType.OUTSIDE_FRAME), visibilities
+        )
+        return trajectories, visibilities
+
+    def _patch_filter(self, images, query_points, trajectories, visibilities):
+        """LAB patch-similarity filtering (reference :597-681), vectorized."""
+        t, m, p, _ = trajectories.shape
+        flat_traj = trajectories.reshape(t, m * p, 2)
+        qp = query_points.reshape(m * p, 3)
+
+        lab = np.asarray(rgb_to_lab(jnp.asarray(images)))  # [T, H, W, 3]
+
+        def patches_at(frame_lab, pts_xy):
+            return np.asarray(
+                patch_sample(jnp.asarray(frame_lab), jnp.asarray(pts_xy), self.patch_size)
+            )  # [N, K*K, 3]
+
+        q_patches = np.zeros((m * p, self.patch_size ** 2, 3), np.float32)
+        for f in np.unique(qp[:, 0].astype(np.int64)):
+            sel = qp[:, 0].astype(np.int64) == f
+            q_patches[sel] = patches_at(lab[f], qp[sel, 1:])
+
+        sims = np.zeros((t, m * p), np.float32)
+        for f in range(t):
+            tp = patches_at(lab[f], flat_traj[f])
+            diff = (tp - q_patches).reshape(m * p, -1)
+            sims[f] = np.exp(
+                -np.linalg.norm(diff, axis=-1) / (2 * self.patch_size ** 2)
+            )
+        similar = sims > self.patch_similarity_threshold  # [T, M*P]
+        vis = visibilities.reshape(t, m * p).copy()
+        vis[(vis == 1) & ~similar] = float(PointVisibilityType.PATCH_NON_SIMILAR)
+
+        # cascade rejection after the first non-similar frame (reference :663-681)
+        qts = qp[:, 0].astype(np.int64)
+        tgrid = np.arange(t)[:, None]
+        bad = vis == float(PointVisibilityType.PATCH_NON_SIMILAR)
+        after = bad & (tgrid > qts[None, :])
+        # first bad frame after the query timestep, per point
+        first_after = np.where(
+            after.any(0), np.argmax(after, axis=0), t + 1
+        )
+        reject_fwd = tgrid > first_after[None, :]
+        before = bad & (tgrid < qts[None, :])
+        # last bad frame before the query timestep (reference scans downward)
+        rev = before[::-1]
+        last_before = np.where(
+            before.any(0), t - 1 - np.argmax(rev, axis=0), -1
+        )
+        reject_bwd = tgrid < last_before[None, :]
+        vis = np.where(
+            reject_fwd | reject_bwd,
+            float(PointVisibilityType.REJECTED_AFTER_PATCH_WAS_NON_SIMILAR),
+            vis,
+        )
+        return vis.reshape(t, m, p)
+
+    # ------------------------------------------------------------------
+    # Batched SAM application
+    # ------------------------------------------------------------------
+    def _build_prompts(
+        self, trajectories: np.ndarray, visibilities: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(frame, mask) prompt arrays with fixed padded shapes.
+
+        trajectories: [T, M, P, 2]; visibilities: [T, M, P].
+        Returns points [T, M, N, 2], labels [T, M, N] with
+        N = P + other_slots (+2 reserved box-corner slots appended by the
+        refinement passes, not here).
+        """
+        t, m, p, _ = trajectories.shape
+        n_pos = self.positive_points_per_mask
+        visible = visibilities == 1
+
+        labels = np.full((t, m, p), -1, np.int64)
+        base = np.ones((p,), np.int64)
+        if self.negative_points_per_mask > 0:
+            base[n_pos:] = 0
+        labels[:, :, :] = np.where(visible, base[None, None, :], -1)
+        points = trajectories.copy()
+
+        if m > 1 and self.add_other_objects_positive_points_as_negative_points:
+            cap = self.max_other_objects_positive_points
+            other_slots = (m - 1) * n_pos if cap is None else cap
+            opts = np.zeros((t, m, other_slots, 2), np.float32)
+            olbl = np.full((t, m, other_slots), -1, np.int64)
+            pos_traj = trajectories[:, :, :n_pos, :]
+            pos_vis = visible[:, :, :n_pos]
+            for mi in range(m):
+                others = [o for o in range(m) if o != mi]
+                coords = pos_traj[:, others].reshape(t, -1, 2)
+                vis = pos_vis[:, others].reshape(t, -1)
+                for fi in range(t):
+                    vc = coords[fi][vis[fi]]
+                    if cap is not None and len(vc) > cap:
+                        idx = self.rng.choice(len(vc), cap, replace=False)
+                        vc = vc[idx]
+                    k = min(len(vc), other_slots)
+                    opts[fi, mi, :k] = vc[:k]
+                    olbl[fi, mi, :k] = 0
+            points = np.concatenate([points, opts], axis=2)
+            labels = np.concatenate([labels, olbl], axis=2)
+
+        return points.astype(np.float32), labels
+
+    def _apply_sam(
+        self,
+        images: np.ndarray,
+        trajectories: np.ndarray,
+        visibilities: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched SAM over all (frame, mask) pairs.
+
+        Returns (pred_scores [M], logits [M, T, H, W], scores_per_frame [T, M])
+        — the reference `_apply_sam_to_trajectories` contract (:694-866).
+        """
+        t, h, w, _ = images.shape
+        _, m, p, _ = trajectories.shape
+        original_hw = (h, w)
+        predictor = self.sam_predictor
+
+        # 1. Embed all frames once (chunked).
+        embeddings = self._encode_all_frames(images)  # [T, g, g, 256]
+
+        # 2. Assemble prompts, flatten (T, M) -> B.
+        points, labels = self._build_prompts(trajectories, visibilities)
+        n_prompt = points.shape[2]
+        b = t * m
+        pts_flat = points.reshape(b, n_prompt, 2)
+        lbl_flat = labels.reshape(b, n_prompt)
+        emb_flat = np.repeat(np.arange(t), m)  # embedding index per pair
+
+        has_visible = (lbl_flat == 1).any(axis=1)
+
+        # 3. Chunked batched decode with chaining + refinement. The last chunk
+        # is padded to the full chunk size so every call shares one compiled
+        # program.
+        g4 = 4 * (predictor.model.image_size // 16)
+        low_res_all = np.zeros((b, 1, g4, g4), np.float32)
+        iou_all = np.zeros((b,), np.float32)
+        chunk = min(self.sam_decode_chunk, b)
+        for i in range(0, b, chunk):
+            sl = slice(i, min(i + chunk, b))
+            nb = sl.stop - sl.start
+            pad = chunk - nb
+            idx = np.concatenate([np.arange(sl.start, sl.stop),
+                                  np.full(pad, sl.start)])
+            emb = embeddings[jnp.asarray(emb_flat[idx])]
+            pts = jnp.asarray(pts_flat[idx])
+            lbl = jnp.asarray(lbl_flat[idx])
+            low_res, iou = self._decode_pair_chunk(emb, pts, lbl, original_hw)
+            low_res_all[sl] = np.asarray(low_res)[:nb, None]
+            iou_all[sl] = np.asarray(iou)[:nb]
+
+        # 4. Upscale to original resolution (chunked, padded) + gating.
+        logits = np.full((b, h, w), NEG_INF, np.float32)
+        for i in range(0, b, chunk):
+            sl = slice(i, min(i + chunk, b))
+            nb = sl.stop - sl.start
+            idx = np.concatenate([np.arange(sl.start, sl.stop),
+                                  np.full(chunk - nb, sl.start)])
+            up = predictor.upscale_logits(
+                jnp.asarray(low_res_all[idx, 0]), original_hw
+            )
+            logits[sl] = np.asarray(up)[:nb]
+
+        passed = has_visible & (iou_all >= self.sam_iou_threshold)
+        logits[~passed] = NEG_INF
+
+        logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)  # [M, T, H, W]
+        scores_per_frame = np.where(has_visible, iou_all, NEG_INF).reshape(t, m)
+        counts = has_visible.reshape(t, m).sum(axis=0)
+        sums = np.where(has_visible, iou_all, 0.0).reshape(t, m).sum(axis=0)
+        pred_scores = sums / np.where(counts != 0, counts, 1)
+        return pred_scores, logits, scores_per_frame
+
+    def _encode_all_frames(self, images: np.ndarray) -> jnp.ndarray:
+        t = images.shape[0]
+        chunks = []
+        ec = self.sam_encode_chunk
+        for i in range(0, t, ec):
+            chunk = images[i : i + ec]
+            pad = ec - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+            emb = self.sam_predictor.encode_frames(
+                jnp.asarray(chunk), (images.shape[1], images.shape[2])
+            )
+            chunks.append(emb[: ec - pad])
+        return jnp.concatenate(chunks, axis=0)
+
+    def _decode_pair_chunk(self, emb, pts, lbl, original_hw):
+        """One chunk of (frame, mask) pairs through the SAM decoder chain.
+
+        Implements: single pass (no negatives), or positives-only pass ->
+        all-points + mask-input pass (reference :782-807), then
+        `iterative_refinement_iterations` box-refinement passes (:809-828).
+        Returns (low_res [B, 4g, 4g], iou [B]).
+        """
+        predictor = self.sam_predictor
+        use_chain = self.negative_points_per_mask > 0
+
+        if not use_chain:
+            low, iou, _ = predictor.predict(emb, pts, lbl, original_hw)
+            low, iou = low[:, 0], iou[:, 0]
+        else:
+            pos_lbl = jnp.where(lbl == 1, 1, -1)
+            low1, _, _ = predictor.predict(emb, pts, pos_lbl, original_hw)
+            mask_valid = (lbl == 1).any(axis=1)
+            low, iou, _ = predictor.predict(
+                emb, pts, lbl, original_hw,
+                mask_input=low1[:, 0, :, :, None], mask_valid=mask_valid,
+            )
+            low, iou = low[:, 0], iou[:, 0]
+
+        for _ in range(self.iterative_refinement_iterations):
+            low, iou = self._box_refine_step(emb, pts, lbl, low, iou, original_hw)
+        return low, iou
+
+    def _box_refine_step(self, emb, pts, lbl, low, iou, original_hw):
+        """One batched box-refinement pass; elements with <2 positive pixels
+        keep their previous prediction (reference's per-element break :812)."""
+        predictor = self.sam_predictor
+        g4 = low.shape[-1]
+        mask = low > 0  # [B, g4, g4]
+        area = mask.sum(axis=(1, 2))
+        active = area >= 2
+
+        # bbox on the low-res grid -> model-input coordinates (x4 upscale)
+        ys = jnp.arange(g4, dtype=jnp.float32)
+        xs = jnp.arange(g4, dtype=jnp.float32)
+        big = jnp.float32(1e9)
+        y_any = mask.any(axis=2)
+        x_any = mask.any(axis=1)
+        ymin = jnp.min(jnp.where(y_any, ys, big), axis=1)
+        ymax = jnp.max(jnp.where(y_any, ys, -big), axis=1)
+        xmin = jnp.min(jnp.where(x_any, xs, big), axis=1)
+        xmax = jnp.max(jnp.where(x_any, xs, -big), axis=1)
+        # low-res grid -> original pixel coords (the predictor then rescales
+        # all prompt coords, incl. these corners, back to model space)
+        th, tw = original_hw
+        from ..ops.resize import get_longest_side_target_hw
+
+        rh, rw = get_longest_side_target_hw(th, tw, predictor.model.image_size)
+        sx = tw / (rw / 4.0)
+        sy = th / (rh / 4.0)
+        box = jnp.stack([xmin * sx, ymin * sy, xmax * sx, ymax * sy], axis=1)
+
+        # append the two box-corner slots (labels 2, 3); inactive -> pad
+        corner_pts = box.reshape(-1, 2, 2)
+        corner_lbl = jnp.where(
+            active[:, None], jnp.array([2, 3], jnp.int32)[None, :], -1
+        )
+        pts2 = jnp.concatenate([pts, corner_pts], axis=1)
+        lbl2 = jnp.concatenate([lbl, corner_lbl], axis=1)
+
+        new_low, new_iou, _ = predictor.predict(
+            emb, pts2, lbl2, original_hw,
+            mask_input=low[:, :, :, None], mask_valid=jnp.ones(low.shape[0], bool),
+        )
+        new_low, new_iou = new_low[:, 0], new_iou[:, 0]
+        low = jnp.where(active[:, None, None], new_low, low)
+        iou = jnp.where(active, new_iou, iou)
+        return low, iou
+
+    # ------------------------------------------------------------------
+    # Reinit path (reference :355-543) — implemented in a follow-up commit.
+    # ------------------------------------------------------------------
+    def _forward_w_reinit(self, images, query_points):
+        raise NotImplementedError(
+            "point reinitialization lands with the reinit milestone"
+        )

@@ -1,0 +1,99 @@
+"""End-to-end orchestrator tests on tiny random models.
+
+Checks the forward contract the reference asserts at runtime
+(sam_pt/modeling/sam_pt.py:222-226) plus prompt-assembly semantics.
+"""
+import numpy as np
+import pytest
+
+from sam_pt_tpu.utils.testing import build_tiny_sam_pt
+from sam_pt_tpu.utils.util import PointVisibilityType
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_tiny_sam_pt()
+
+
+def make_video(t=5, h=48, w=64, with_masks=True, n_masks=2):
+    rng = np.random.default_rng(3)
+    video = {
+        "video_name": "synthetic",
+        "video_id": 0,
+        "image": rng.integers(0, 255, size=(t, h, w, 3)).astype(np.uint8),
+        "target_hw": (h, w),
+    }
+    if with_masks:
+        masks = np.zeros((n_masks, h, w), np.float32)
+        masks[0, 10:25, 8:30] = 1
+        masks[1, 28:45, 35:60] = 1
+        video["query_masks"] = masks
+        video["query_point_timestep"] = np.zeros((n_masks,), np.float32)
+    else:
+        video["query_points"] = np.array(
+            [[[0, 15.0, 16.0], [0, 20.0, 18.0], [0, 25.0, 20.0],
+              [0, 18.0, 14.0], [0, 40.0, 40.0]]], np.float32
+        )
+    return video
+
+
+class TestForwardContract:
+    def test_query_masks_path(self, model):
+        video = make_video(with_masks=True)
+        out = model.forward(video)
+        t, h, w = 5, 48, 64
+        m, p = 2, 5  # 4 positive + 1 negative
+        assert len(out["logits"]) == m
+        assert out["logits"][0].shape == (t, h, w)
+        assert out["trajectories"].shape == (t, m, p, 2)
+        assert out["visibilities"].shape == (t, m, p)
+        assert len(out["scores"]) == m
+        # query-frame trajectory must hold the query points
+        assert np.isfinite(out["trajectories"]).all()
+
+    def test_query_points_path(self, model):
+        video = make_video(with_masks=False)
+        out = model.forward(video)
+        assert len(out["logits"]) == 1
+        assert out["logits"][0].shape == (5, 48, 64)
+
+    def test_target_hw_resize(self, model):
+        video = make_video(with_masks=True)
+        video["target_hw"] = (96, 128)
+        out = model.forward(video)
+        assert out["logits"][0].shape == (5, 96, 128)
+        # trajectories scaled by 2x
+        assert out["trajectories"].max() <= 130
+
+
+class TestPromptAssembly:
+    def test_labels_and_padding(self, model):
+        t, m, p = 3, 2, 5
+        traj = np.zeros((t, m, p, 2), np.float32)
+        vis = np.ones((t, m, p), np.float32)
+        vis[1, 0, 2] = 0.0  # invisible -> pad label
+        vis[2, 1, 4] = float(PointVisibilityType.OUTSIDE_FRAME)
+        pts, lbl = model._build_prompts(traj, vis)
+        assert lbl.shape == (t, m, p)
+        assert lbl[0, 0, 0] == 1  # visible positive
+        assert lbl[0, 0, 4] == 0  # visible negative (tail point)
+        assert lbl[1, 0, 2] == -1  # invisible -> padding
+        assert lbl[2, 1, 4] == -1  # OOB -> padding
+
+    def test_other_objects_negatives(self, model):
+        model.add_other_objects_positive_points_as_negative_points = True
+        try:
+            t, m, p = 2, 3, 5
+            traj = np.arange(t * m * p * 2, dtype=np.float32).reshape(t, m, p, 2)
+            vis = np.ones((t, m, p), np.float32)
+            pts, lbl = model._build_prompts(traj, vis)
+            n_pos = model.positive_points_per_mask
+            extra = (m - 1) * n_pos
+            assert pts.shape == (t, m, p + extra, 2)
+            assert (lbl[:, :, p:] == 0).all()  # all others visible -> negatives
+            # mask 0's extra points come from masks 1 and 2 positives
+            np.testing.assert_allclose(
+                pts[0, 0, p : p + n_pos], traj[0, 1, :n_pos]
+            )
+        finally:
+            model.add_other_objects_positive_points_as_negative_points = False
