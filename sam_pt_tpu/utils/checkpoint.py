@@ -1,0 +1,345 @@
+"""Checkpoint loading and torch->flax conversion.
+
+The reference loads torch .pth state dicts for SAM variants
+(sam_pt/modeling/sam.py:21-25), PIPS-style step directories
+(point_tracker/utils/saverloader.py:9-30), and numpy-pickled haiku params for
+TapNet/TAPIR (tapir/tracker.py:44-45). This module provides:
+
+  - layout converters between torch tensor conventions and flax NHWC/IO:
+      Linear  [out, in]        -> kernel [in, out]
+      Conv2d  [out, in, kh, kw]-> kernel [kh, kw, in, out]
+      ConvT2d [in, out, kh, kw]-> kernel [kh, kw, in, out]
+  - key-mapping tables from the public SAM / PIPS checkpoint namespaces to
+    this package's flax module tree,
+  - an orbax-backed native save/load for converted checkpoints, so conversion
+    happens once.
+
+Conversion is validated structurally against a flax-init template (every
+expected leaf must be produced with the exact shape).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor -> numpy (no torch import needed at call sites)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def linear_w(x):
+    return _t(x).T
+
+
+def conv_w(x):
+    return _t(x).transpose(2, 3, 1, 0)
+
+
+def convt_w(x):
+    # torch ConvTranspose2d applies the kernel un-flipped; flax's default
+    # ConvTranspose flips it, so mirror the spatial dims during conversion
+    # (verified numerically in tests/test_checkpoint.py).
+    return _t(x).transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+
+
+def conv1d_w(x):
+    """torch Conv1d weight [out, in, 1] -> dense kernel [in, out]."""
+    return _t(x)[:, :, 0].T
+
+
+# ---------------------------------------------------------------------------
+# SAM conversion
+# ---------------------------------------------------------------------------
+
+def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Public segment-anything sam_vit_*.pth state dict -> flax params tree."""
+    p: Dict[str, Any] = {}
+
+    def put(path: str, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    # --- image encoder
+    put("image_encoder/patch_embed/kernel", conv_w(sd["image_encoder.patch_embed.proj.weight"]))
+    put("image_encoder/patch_embed/bias", _t(sd["image_encoder.patch_embed.proj.bias"]))
+    if "image_encoder.pos_embed" in sd:
+        put("image_encoder/pos_embed", _t(sd["image_encoder.pos_embed"]))
+
+    depth = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"image_encoder\.blocks\.(\d+)\.", k))
+    )
+    for i in range(depth):
+        src = f"image_encoder.blocks.{i}"
+        dst = f"image_encoder/blocks_{i}"
+        put(f"{dst}/norm1/scale", _t(sd[f"{src}.norm1.weight"]))
+        put(f"{dst}/norm1/bias", _t(sd[f"{src}.norm1.bias"]))
+        put(f"{dst}/attn/qkv/kernel", linear_w(sd[f"{src}.attn.qkv.weight"]))
+        put(f"{dst}/attn/qkv/bias", _t(sd[f"{src}.attn.qkv.bias"]))
+        put(f"{dst}/attn/proj/kernel", linear_w(sd[f"{src}.attn.proj.weight"]))
+        put(f"{dst}/attn/proj/bias", _t(sd[f"{src}.attn.proj.bias"]))
+        put(f"{dst}/attn/rel_pos_h", _t(sd[f"{src}.attn.rel_pos_h"]))
+        put(f"{dst}/attn/rel_pos_w", _t(sd[f"{src}.attn.rel_pos_w"]))
+        put(f"{dst}/norm2/scale", _t(sd[f"{src}.norm2.weight"]))
+        put(f"{dst}/norm2/bias", _t(sd[f"{src}.norm2.bias"]))
+        put(f"{dst}/mlp_lin1/kernel", linear_w(sd[f"{src}.mlp.lin1.weight"]))
+        put(f"{dst}/mlp_lin1/bias", _t(sd[f"{src}.mlp.lin1.bias"]))
+        put(f"{dst}/mlp_lin2/kernel", linear_w(sd[f"{src}.mlp.lin2.weight"]))
+        put(f"{dst}/mlp_lin2/bias", _t(sd[f"{src}.mlp.lin2.bias"]))
+
+    put("image_encoder/neck_conv1/kernel", conv_w(sd["image_encoder.neck.0.weight"]))
+    put("image_encoder/neck_ln1/weight", _t(sd["image_encoder.neck.1.weight"]))
+    put("image_encoder/neck_ln1/bias", _t(sd["image_encoder.neck.1.bias"]))
+    put("image_encoder/neck_conv2/kernel", conv_w(sd["image_encoder.neck.2.weight"]))
+    put("image_encoder/neck_ln2/weight", _t(sd["image_encoder.neck.3.weight"]))
+    put("image_encoder/neck_ln2/bias", _t(sd["image_encoder.neck.3.bias"]))
+
+    # --- prompt encoder
+    put(
+        "prompt_encoder/pe_layer/gaussian_matrix",
+        _t(sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]),
+    )
+    for i in range(4):
+        put(
+            f"prompt_encoder/point_embed_{i}",
+            _t(sd[f"prompt_encoder.point_embeddings.{i}.weight"])[0],
+        )
+    put("prompt_encoder/not_a_point_embed",
+        _t(sd["prompt_encoder.not_a_point_embed.weight"])[0])
+    put("prompt_encoder/no_mask_embed",
+        _t(sd["prompt_encoder.no_mask_embed.weight"])[0])
+    md = "prompt_encoder.mask_downscaling"
+    put("prompt_encoder/mask_conv1/kernel", conv_w(sd[f"{md}.0.weight"]))
+    put("prompt_encoder/mask_conv1/bias", _t(sd[f"{md}.0.bias"]))
+    put("prompt_encoder/mask_ln1/weight", _t(sd[f"{md}.1.weight"]))
+    put("prompt_encoder/mask_ln1/bias", _t(sd[f"{md}.1.bias"]))
+    put("prompt_encoder/mask_conv2/kernel", conv_w(sd[f"{md}.3.weight"]))
+    put("prompt_encoder/mask_conv2/bias", _t(sd[f"{md}.3.bias"]))
+    put("prompt_encoder/mask_ln2/weight", _t(sd[f"{md}.4.weight"]))
+    put("prompt_encoder/mask_ln2/bias", _t(sd[f"{md}.4.bias"]))
+    put("prompt_encoder/mask_conv3/kernel", conv_w(sd[f"{md}.6.weight"]))
+    put("prompt_encoder/mask_conv3/bias", _t(sd[f"{md}.6.bias"]))
+
+    # --- mask decoder
+    def attn(src, dst):
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put(f"{dst}/{name}/kernel", linear_w(sd[f"{src}.{name}.weight"]))
+            put(f"{dst}/{name}/bias", _t(sd[f"{src}.{name}.bias"]))
+
+    def norm(src, dst):
+        put(f"{dst}/scale", _t(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    tr_src = "mask_decoder.transformer"
+    tr_dst = "mask_decoder/transformer"
+    for i in range(2):
+        s = f"{tr_src}.layers.{i}"
+        d = f"{tr_dst}/layers_{i}"
+        attn(f"{s}.self_attn", f"{d}/self_attn")
+        attn(f"{s}.cross_attn_token_to_image", f"{d}/cross_attn_token_to_image")
+        attn(f"{s}.cross_attn_image_to_token", f"{d}/cross_attn_image_to_token")
+        for j in range(1, 5):
+            norm(f"{s}.norm{j}", f"{d}/norm{j}")
+        put(f"{d}/mlp/lin1/kernel", linear_w(sd[f"{s}.mlp.lin1.weight"]))
+        put(f"{d}/mlp/lin1/bias", _t(sd[f"{s}.mlp.lin1.bias"]))
+        put(f"{d}/mlp/lin2/kernel", linear_w(sd[f"{s}.mlp.lin2.weight"]))
+        put(f"{d}/mlp/lin2/bias", _t(sd[f"{s}.mlp.lin2.bias"]))
+    attn(f"{tr_src}.final_attn_token_to_image", f"{tr_dst}/final_attn_token_to_image")
+    norm(f"{tr_src}.norm_final_attn", f"{tr_dst}/norm_final_attn")
+
+    put("mask_decoder/iou_token", _t(sd["mask_decoder.iou_token.weight"]))
+    put("mask_decoder/mask_tokens", _t(sd["mask_decoder.mask_tokens.weight"]))
+    put("mask_decoder/upscale_conv1/kernel",
+        convt_w(sd["mask_decoder.output_upscaling.0.weight"]))
+    put("mask_decoder/upscale_conv1/bias",
+        _t(sd["mask_decoder.output_upscaling.0.bias"]))
+    put("mask_decoder/upscale_ln/weight",
+        _t(sd["mask_decoder.output_upscaling.1.weight"]))
+    put("mask_decoder/upscale_ln/bias",
+        _t(sd["mask_decoder.output_upscaling.1.bias"]))
+    put("mask_decoder/upscale_conv2/kernel",
+        convt_w(sd["mask_decoder.output_upscaling.3.weight"]))
+    put("mask_decoder/upscale_conv2/bias",
+        _t(sd["mask_decoder.output_upscaling.3.bias"]))
+    n_hyper = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.", k))
+    )
+    for i in range(n_hyper):
+        s = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        d = f"mask_decoder/output_hypernetworks_mlps_{i}"
+        for j in range(3):
+            put(f"{d}/layers_{j}/kernel", linear_w(sd[f"{s}.layers.{j}.weight"]))
+            put(f"{d}/layers_{j}/bias", _t(sd[f"{s}.layers.{j}.bias"]))
+    for j in range(3):
+        s = f"mask_decoder.iou_prediction_head.layers.{j}"
+        d = f"mask_decoder/iou_prediction_head/layers_{j}"
+        put(f"{d}/kernel", linear_w(sd[f"{s}.weight"]))
+        put(f"{d}/bias", _t(sd[f"{s}.bias"]))
+
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# PIPS conversion
+# ---------------------------------------------------------------------------
+
+def convert_pips_state_dict(sd: Dict[str, Any], mixer_depth: int = 12) -> Dict[str, Any]:
+    """Public PIPS reference_model checkpoint -> flax params tree."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def conv(src, dst):
+        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    conv("fnet.conv1", "fnet/conv1")
+    for li, planes in ((1, 64), (2, 96), (3, 128), (4, 128)):
+        for bi in range(2):
+            src = f"fnet.layer{li}.{bi}"
+            dst = f"fnet/layer{li}_{bi}"
+            conv(f"{src}.conv1", f"{dst}/conv1")
+            conv(f"{src}.conv2", f"{dst}/conv2")
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{src}.downsample.0", f"{dst}/downsample")
+    conv("fnet.conv2", "fnet/conv2")
+    conv("fnet.conv3", "fnet/conv3")
+
+    # delta_block.to_delta: [0] input proj, [1..depth] mixer pairs,
+    # [depth+1] out LN, [depth+2] Reduce (no params), [depth+3] out proj
+    put("delta_block/input_proj/kernel", linear_w(sd["delta_block.to_delta.0.weight"]))
+    put("delta_block/input_proj/bias", _t(sd["delta_block.to_delta.0.bias"]))
+    for i in range(mixer_depth):
+        s = f"delta_block.to_delta.{1 + i}"
+        d = f"delta_block/mixer_{i}"
+        put(f"{d}/token_norm/scale", _t(sd[f"{s}.0.norm.weight"]))
+        put(f"{d}/token_norm/bias", _t(sd[f"{s}.0.norm.bias"]))
+        put(f"{d}/token_fc1/kernel", conv1d_w(sd[f"{s}.0.fn.0.weight"]))
+        put(f"{d}/token_fc1/bias", _t(sd[f"{s}.0.fn.0.bias"]))
+        put(f"{d}/token_fc2/kernel", conv1d_w(sd[f"{s}.0.fn.3.weight"]))
+        put(f"{d}/token_fc2/bias", _t(sd[f"{s}.0.fn.3.bias"]))
+        put(f"{d}/chan_norm/scale", _t(sd[f"{s}.1.norm.weight"]))
+        put(f"{d}/chan_norm/bias", _t(sd[f"{s}.1.norm.bias"]))
+        put(f"{d}/chan_fc1/kernel", linear_w(sd[f"{s}.1.fn.0.weight"]))
+        put(f"{d}/chan_fc1/bias", _t(sd[f"{s}.1.fn.0.bias"]))
+        put(f"{d}/chan_fc2/kernel", linear_w(sd[f"{s}.1.fn.3.weight"]))
+        put(f"{d}/chan_fc2/bias", _t(sd[f"{s}.1.fn.3.bias"]))
+    ln_idx = mixer_depth + 1
+    out_idx = mixer_depth + 3
+    put("delta_block/out_norm/scale", _t(sd[f"delta_block.to_delta.{ln_idx}.weight"]))
+    put("delta_block/out_norm/bias", _t(sd[f"delta_block.to_delta.{ln_idx}.bias"]))
+    put("delta_block/out_proj/kernel", linear_w(sd[f"delta_block.to_delta.{out_idx}.weight"]))
+    put("delta_block/out_proj/bias", _t(sd[f"delta_block.to_delta.{out_idx}.bias"]))
+
+    put("ffeat_norm/scale", _t(sd["norm.weight"]))
+    put("ffeat_norm/bias", _t(sd["norm.bias"]))
+    put("ffeat_updater/kernel", linear_w(sd["ffeat_updater.0.weight"]))
+    put("ffeat_updater/bias", _t(sd["ffeat_updater.0.bias"]))
+    put("vis_predictor/kernel", linear_w(sd["vis_predictor.0.weight"]))
+    put("vis_predictor/bias", _t(sd["vis_predictor.0.bias"]))
+
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Validation + loaders
+# ---------------------------------------------------------------------------
+
+def validate_against_template(converted, template) -> None:
+    """Every template leaf must exist in `converted` with the same shape."""
+    import jax
+
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    missing, bad = [], []
+    for path, leaf in flat_t:
+        if path not in flat_c:
+            missing.append(jax.tree_util.keystr(path))
+        elif tuple(flat_c[path].shape) != tuple(leaf.shape):
+            bad.append(
+                f"{jax.tree_util.keystr(path)}: {flat_c[path].shape} != {leaf.shape}"
+            )
+    if missing or bad:
+        raise ValueError(
+            f"checkpoint conversion mismatch; missing={missing[:8]} bad={bad[:8]}"
+        )
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model_state_dict" in sd:  # PIPS saverloader dirs
+        sd = sd["model_state_dict"]
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return sd
+
+
+def resolve_pips_checkpoint_file(path: str) -> str:
+    """PIPS checkpoints live in step directories: model-<step>.pth, latest wins
+    (reference saverloader.py:30 semantics)."""
+    if os.path.isfile(path):
+        return path
+    files = [f for f in os.listdir(path) if f.endswith(".pth")]
+    if not files:
+        raise FileNotFoundError(f"No .pth files under {path}")
+
+    def step(f):
+        m = re.search(r"(\d+)", f)
+        return int(m.group(1)) if m else -1
+
+    return os.path.join(path, sorted(files, key=step)[-1])
+
+
+def load_sam_checkpoint(path: str, model=None, template=None):
+    sd = load_torch_state_dict(path)
+    params = convert_sam_state_dict(sd)
+    if template is not None:
+        validate_against_template(params, template)
+    return params
+
+
+def load_pips_checkpoint(path: str, model=None, template=None):
+    file = resolve_pips_checkpoint_file(path)
+    sd = load_torch_state_dict(file)
+    params = convert_pips_state_dict(sd)
+    if template is not None:
+        validate_against_template(params, template)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Native (orbax) save/load for converted checkpoints
+# ---------------------------------------------------------------------------
+
+def save_native(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+
+
+def load_native(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
