@@ -1,0 +1,157 @@
+"""Interactive/video demo entry point.
+
+Mirrors the reference demo surface (demo/demo.py: hydra main :35, frame
+loading with stride/resize :191-222, query-points txt parsing :225-252 with
+the format documented in data/demo_data/README.md, cv2 click UI :255-368) on
+the TPU-native stack. Run:
+
+    python -m demo.demo frames_path=... query_points_path=...
+
+Outputs overlay mp4 + per-frame jpgs under cfg.output_dir instead of an
+interactive cv2 playback window (headless-friendly).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from sam_pt_tpu.config import compose, instantiate, resolve_interpolations
+from sam_pt_tpu.utils.util import seed_all
+from sam_pt_tpu.utils.viz import render_predictions, save_frames, save_video
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def load_frames(
+    frames_path: str,
+    frame_stride: int = 1,
+    max_frames: Optional[int] = None,
+    longest_side_length: Optional[int] = None,
+) -> np.ndarray:
+    """Load a frame directory or a video file -> [T, H, W, 3] uint8 RGB."""
+    frames: List[np.ndarray] = []
+    if os.path.isdir(frames_path):
+        names = sorted(
+            f for f in os.listdir(frames_path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        for name in names[::frame_stride]:
+            img = cv2.imread(os.path.join(frames_path, name))
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            if max_frames and len(frames) >= max_frames:
+                break
+    else:
+        cap = cv2.VideoCapture(frames_path)
+        idx = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % frame_stride == 0:
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                if max_frames and len(frames) >= max_frames:
+                    break
+            idx += 1
+        cap.release()
+    if not frames:
+        raise FileNotFoundError(f"No frames found at {frames_path}")
+    video = np.stack(frames)
+    if longest_side_length:
+        h, w = video.shape[1:3]
+        scale = longest_side_length / max(h, w)
+        if scale != 1.0:
+            nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+            video = np.stack(
+                [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_AREA)
+                 for f in video]
+            )
+    return video
+
+
+def load_query_points(
+    path: str, scale: float = 1.0
+) -> Tuple[np.ndarray, int]:
+    """Parse the reference query-points txt format.
+
+    Line 1: number of positive points; following lines:
+    `timestep ; x1,y1 x2,y2 ...` — positives first, negatives after
+    (reference demo.py:225-252, data/demo_data/README.md).
+    Returns (query_points [M, P, 3] (t, x, y), n_positive).
+    """
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    n_positive = int(lines[0])
+    masks = []
+    for line in lines[1:]:
+        ts, _, rest = line.partition(";")
+        pts = []
+        for tok in rest.split():
+            x, y = tok.split(",")
+            pts.append((float(ts), float(x) * scale, float(y) * scale))
+        masks.append(pts)
+    n_points = max(len(m) for m in masks)
+    assert all(len(m) == n_points for m in masks), "ragged query point lists"
+    return np.asarray(masks, np.float32), n_positive
+
+
+def run_inference(model, images: np.ndarray, query_points: np.ndarray) -> dict:
+    h, w = images.shape[1:3]
+    video = {
+        "video_name": "demo",
+        "video_id": 0,
+        "image": images,
+        "target_hw": (h, w),
+        "query_points": query_points,
+    }
+    return model.forward(video)
+
+
+def main(cfg) -> dict:
+    seed_all(cfg.get("seed", 72))
+    images = load_frames(
+        cfg["frames_path"],
+        cfg.get("frame_stride", 1),
+        cfg.get("max_frames"),
+        cfg.get("longest_side_length"),
+    )
+    query_points, n_positive = load_query_points(
+        cfg["query_points_path"], cfg.get("query_points_scale", 1.0)
+    )
+
+    model = instantiate(cfg["model"])
+    model.positive_points_per_mask = n_positive
+    model.negative_points_per_mask = query_points.shape[1] - n_positive
+
+    outputs = run_inference(model, images, query_points)
+
+    out_dir = cfg.get("output_dir", "outputs/demo")
+    frames = render_predictions(
+        images,
+        outputs["logits"],
+        outputs["trajectories"],
+        outputs["visibilities"],
+    )
+    save_video(frames, os.path.join(out_dir, "overlay.mp4"))
+    save_frames(frames, os.path.join(out_dir, "frames"))
+    print(f"Demo wrote {len(frames)} frames to {out_dir}")
+    print(f"Scores: {outputs['scores']}")
+    return outputs
+
+
+def cli():
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    cfg = compose(CONFIG_DIR, "demo", overrides)
+    cfg = resolve_interpolations(cfg)
+    return main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

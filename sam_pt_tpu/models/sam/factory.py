@@ -1,0 +1,64 @@
+"""Builders wiring configs to model objects (the Hydra `_target_` surface).
+
+Replaces the reference's SAM Hydra wrapper classes (sam_pt/modeling/sam.py:
+BaseHydra/SamHydra/SamHQHydra/MobileSamHydra) — here a builder returns a ready
+`SamPredictor` with converted weights.
+"""
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .predictor import SamPredictor
+from .sam_model import Sam
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "f32": jnp.float32,
+}
+
+
+def build_predictor(
+    variant: str = "vit_b",
+    checkpoint: Optional[str] = None,
+    dtype: str = "bfloat16",
+    image_size: int = 1024,
+    allow_random_init: bool = False,
+    seed: int = 0,
+) -> SamPredictor:
+    """Build a SamPredictor for a ViT variant, converting a torch checkpoint.
+
+    If `checkpoint` is missing and allow_random_init is set, parameters are
+    randomly initialized (tests / benchmarking without weights).
+    """
+    model = Sam(encoder_variant=variant, image_size=image_size,
+                dtype=_DTYPES[dtype])
+
+    if checkpoint is not None and os.path.exists(checkpoint):
+        from ...utils.checkpoint import load_native, load_sam_checkpoint
+
+        if os.path.isdir(checkpoint):  # pre-converted orbax dir
+            params = load_native(checkpoint)
+        else:
+            params = load_sam_checkpoint(checkpoint)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    elif allow_random_init:
+        warnings.warn(
+            f"SAM checkpoint {checkpoint!r} not found — using RANDOM weights"
+        )
+        imgs = jnp.zeros((1, image_size, image_size, 3))
+        pts = jnp.zeros((1, 2, 2))
+        lbl = jnp.zeros((1, 2), jnp.int32)
+        params = model.init(jax.random.PRNGKey(seed), imgs, pts, lbl)
+    else:
+        raise FileNotFoundError(
+            f"SAM checkpoint not found: {checkpoint} "
+            "(set allow_random_init: true to run without weights)"
+        )
+    return SamPredictor(model, params)

@@ -45,6 +45,7 @@ class PipsPointTracker(PointTracker):
         encode_chunk: int = 8,
         dtype=jnp.float32,
         params=None,
+        allow_random_init: bool = False,
     ):
         self.stride = stride
         self.s = s
@@ -53,9 +54,23 @@ class PipsPointTracker(PointTracker):
         self.encode_chunk = encode_chunk
         self.model = Pips(s=s, stride=stride, dtype=dtype)
         if params is None and checkpoint_path is not None:
-            from ....utils.checkpoint import load_pips_checkpoint
+            import os
+            if os.path.exists(checkpoint_path):
+                from ....utils.checkpoint import load_pips_checkpoint
 
-            params = load_pips_checkpoint(checkpoint_path, self.model)
+                params = load_pips_checkpoint(checkpoint_path, self.model)
+            elif allow_random_init:
+                import warnings
+
+                warnings.warn(
+                    f"PIPS checkpoint {checkpoint_path!r} not found — "
+                    "using RANDOM weights"
+                )
+            else:
+                raise FileNotFoundError(
+                    f"PIPS checkpoint not found: {checkpoint_path} "
+                    "(set allow_random_init: true to run without weights)"
+                )
         self.params = params
 
         self._encode = jax.jit(
@@ -182,6 +197,8 @@ class PipsPointTracker(PointTracker):
     def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
         """rgbs [B, T, H, W, 3] uint8; query_points [B, N, 3] (t, x, y)."""
         assert rgbs.shape[0] == 1, "PIPS linking currently runs per-video"
+        if self.params is None:  # random-init fallback (no checkpoint)
+            self.init_params(jax.random.PRNGKey(0), 64, 64)
         rgbs = np.asarray(rgbs)[0]
         qp = np.asarray(query_points, np.float32)[0]
         t = rgbs.shape[0]
