@@ -239,7 +239,7 @@ def _locate(target: str) -> Callable:
     return getattr(module, attr)
 
 
-def instantiate(cfg: Any, **kwargs: Any) -> Any:
+def instantiate(cfg: Any, /, **kwargs: Any) -> Any:
     """Recursively construct objects from `_target_` nodes (Hydra semantics).
 
     Nodes may set `_partial_: true` to get a functools.partial instead of a

@@ -1,0 +1,255 @@
+"""VOS evaluation harness (XMem-style loop, reference sam_pt/vos_eval/eval.py).
+
+Per video: load frames + GT index masks (MaskMapper remapping), call the
+model per mask batch, fuse per-mask logits with a background channel +
+softmax argmax, overwrite GT at query frames, save palette PNGs, track FPS,
+and auto-score DAVIS val (J&F) with the native scorer.
+
+Run:  python -m sam_pt_tpu.vos_eval.eval dataset=D17 split=val ...
+Debug subsetting flags mirror the reference: max_videos, max_frames, vid_ids.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from os import path
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from ..config import compose, instantiate, resolve_interpolations
+from ..utils.util import seed_all
+from .data.mask_mapper import MaskMapper
+from .data.test_datasets import (
+    BDD100KTestDataset,
+    DAVISTestDataset,
+    LongTestDataset,
+    MOSETestDataset,
+    YouTubeVOSTestDataset,
+)
+from .data.video_reader import nearest_resize_index
+from .davis2017eval import Davis2017Evaluator
+from .evaluator import VOSEvaluator
+
+CONFIG_DIR = path.join(path.dirname(__file__), "..", "..", "configs")
+
+
+def build_dataset(cfg):
+    dataset = cfg["dataset"]
+    split = cfg.get("split", "val")
+    size = cfg.get("size", -1)
+    longest_size = cfg.get("longest_size")
+
+    if dataset == "D17":
+        root = path.join(cfg["d17_path"], "trainval" if split == "val" else "test-dev")
+        imset = "2017/val.txt" if split == "val" else "2017/test-dev.txt"
+        return DAVISTestDataset(root, imset=imset, size=size,
+                                longest_size=longest_size)
+    if dataset == "D16":
+        return DAVISTestDataset(
+            cfg["d16_path"],
+            imset="../../2017/trainval/ImageSets/2016/val.txt",
+            size=size, longest_size=longest_size,
+        )
+    if dataset in ("Y18", "Y19"):
+        root = cfg["y18_path"] if dataset == "Y18" else cfg["y19_path"]
+        return YouTubeVOSTestDataset(
+            root, split="valid" if split == "val" else split,
+            size=size, longest_size=longest_size,
+        )
+    if dataset in ("LV1", "LV3"):
+        sub = "long_video" if dataset == "LV1" else "long_video_x3"
+        return LongTestDataset(path.join(cfg["lv_path"], sub),
+                               longest_size=longest_size)
+    if dataset == "G":
+        return LongTestDataset(cfg["generic_path"], size=size,
+                               longest_size=longest_size)
+    if dataset == "MOSE":
+        return MOSETestDataset(cfg["mose_path"], split=split,
+                               shortest_size=size, longest_size=longest_size)
+    if dataset == "BDD100K":
+        return BDD100KTestDataset(cfg["bdd100k_path"], split=split,
+                                  shortest_size=size, longest_size=longest_size)
+    raise NotImplementedError(dataset)
+
+
+def softmax_fuse(logits: np.ndarray) -> np.ndarray:
+    """[T, 1+M, H, W] logits (channel 0 = zero background) -> probs."""
+    x = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def evaluate(cfg) -> Dict:
+    seed_all(cfg.get("seed", 72))
+
+    meta_dataset = build_dataset(cfg)
+    out_path = cfg["output"]
+    if cfg["dataset"].startswith("Y"):
+        out_path = path.join(out_path, "Annotations")
+
+    model = instantiate(cfg["model"])
+    evaluator: VOSEvaluator = instantiate(
+        cfg.get("evaluator", {
+            "_target_": "sam_pt_tpu.vos_eval.evaluator.SamPtEvaluator"
+        }),
+        cfg=cfg, model=model,
+    )
+
+    max_videos = cfg.get("max_videos")
+    max_frames = cfg.get("max_frames")
+    vid_ids = cfg.get("vid_ids")
+    masks_batch_size = cfg.get("masks_batch_size", 100)
+    save_all = cfg.get("save_all", False)
+
+    total_process_time = 0.0
+    total_frames = 0
+
+    for vid_id, vid_reader in enumerate(meta_dataset.get_datasets()):
+        if vid_ids is not None and vid_id not in vid_ids:
+            continue
+        if max_videos is not None and vid_id >= max_videos:
+            break
+        vid_name = vid_reader.vid_name
+        if path.exists(out_path) and vid_name in os.listdir(out_path):
+            print(f"Already processed {vid_name}, skipping (resume-by-skip)")
+            continue
+        print(f"Processing {vid_name}... [{vid_id + 1}/{len(meta_dataset)}]")
+
+        mapper = MaskMapper()
+        rgbs: List[np.ndarray] = []
+        infos: List[dict] = []
+        gt_ti_list: List[int] = []
+        gt_mask_list: List[np.ndarray] = []
+        gt_labels_list: List[int] = []
+
+        for ti, data in enumerate(vid_reader):
+            if max_frames is not None and ti >= max_frames:
+                break
+            rgb = data["rgb"]
+            msk = data.get("mask")
+            info = data["info"]
+
+            if cfg["dataset"] == "BDD100K" and msk is not None:
+                seen = np.isin(msk, mapper.labels)
+                msk = msk.copy()
+                msk[seen] = 0
+                if msk.sum() == 0:
+                    msk = None
+
+            if msk is not None:
+                onehot, new_mapped = mapper.convert_mask(msk)
+                if info["need_resize"]:
+                    onehot = vid_reader.resize_mask(onehot)
+                inv = {v: k for k, v in mapper.remappings.items()}
+                for l_remapped in new_mapped:
+                    l_original = inv[l_remapped]
+                    if l_original not in gt_labels_list:
+                        m = onehot[l_remapped - 1]
+                        assert m.sum() > 0
+                        gt_mask_list.append(m)
+                        gt_ti_list.append(ti)
+                        gt_labels_list.append(l_original)
+
+            rgbs.append(rgb)
+            infos.append(info)
+
+        if not gt_mask_list:
+            print(f"No GT masks for {vid_name}, skipping")
+            continue
+
+        height, width = infos[0]["shape"]
+        target_hw = (int(height), int(width))
+        images = np.stack(rgbs)
+        query_masks = np.stack(gt_mask_list)
+        query_ts = np.asarray(gt_ti_list, np.float32)
+        n_masks = query_masks.shape[0]
+
+        start = time.perf_counter()
+
+        pred_logits = []
+        for i in range(0, n_masks, masks_batch_size):
+            video = {
+                "video_name": vid_name,
+                "video_id": f"{vid_id:03d}--{vid_name}--mask-{i}",
+                "image": images,
+                "info": infos,
+                "target_hw": target_hw,
+                "query_masks": query_masks[i : i + masks_batch_size],
+                "query_point_timestep": query_ts[i : i + masks_batch_size],
+            }
+            outputs = evaluator.evaluate_video(video)
+            pred_logits.extend(outputs["logits"])
+
+        t_frames = len(rgbs)
+        logits = np.stack(
+            [np.zeros_like(pred_logits[0])] + pred_logits, axis=1
+        )  # [T, 1+M, h, w]
+
+        # zero out predictions before each mask's query frame; overwrite GT at
+        # query frames (reference :319-325)
+        for i, gt_ti in enumerate(gt_ti_list):
+            logits[:gt_ti, i + 1] = -1e8
+        for i, (gt_ti, gt_mask) in enumerate(zip(gt_ti_list, gt_mask_list)):
+            gt_resized = nearest_resize_index(gt_mask, target_hw)
+            logits[gt_ti, i + 1] = np.where(gt_resized > 0.5, 1e8, -1e8)
+
+        probs = softmax_fuse(logits)
+
+        total_process_time += time.perf_counter() - start
+        total_frames += t_frames
+
+        # save palette PNGs
+        for ti in range(t_frames):
+            info = infos[ti]
+            if not (save_all or info["save"]):
+                continue
+            out_mask = probs[ti].argmax(axis=0).astype(np.uint8)
+            out_mask = mapper.remap_index_mask(out_mask)
+            this_out = path.join(out_path, vid_name)
+            os.makedirs(this_out, exist_ok=True)
+            img = Image.fromarray(out_mask)
+            if vid_reader.get_palette() is not None:
+                img.putpalette(vid_reader.get_palette())
+            img.save(path.join(this_out, info["frame"][:-4] + ".png"))
+
+    fps = total_frames / total_process_time if total_process_time > 0 else 0.0
+    print(f"Total processing time: {total_process_time:.2f}s")
+    print(f"Total processed frames: {total_frames}")
+    print(f"FPS: {fps:.3f}")
+
+    results = {"fps": fps, "total_frames": total_frames}
+
+    if cfg["dataset"] in ("D16", "D17") and cfg.get("split", "val") == "val" \
+            and cfg.get("score", True):
+        sequences = "all"
+        if vid_ids is not None or max_videos is not None:
+            sequences = sorted(
+                s for s in os.listdir(cfg["output"])
+                if "." not in s and s != "overlapping"
+            )
+        df_global, df_per_seq = Davis2017Evaluator(
+            results_path=cfg["output"],
+            davis_path=path.join(cfg["d17_path"], "trainval"),
+            set="val",
+            year="2017" if cfg["dataset"] == "D17" else "2016",
+            sequences=sequences,
+        ).evaluate()
+        results["J&F-Mean"] = float(df_global["J&F-Mean"].iloc[0])
+        results["df_global"] = df_global
+        results["df_per_seq"] = df_per_seq
+
+    return results
+
+
+def main():
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    cfg = compose(CONFIG_DIR, "vos_eval_root", overrides)
+    cfg = resolve_interpolations(cfg)
+    return evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()
