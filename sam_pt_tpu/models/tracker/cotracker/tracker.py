@@ -1,0 +1,253 @@
+"""CoTracker point tracker: sliding windows, support grids, backward merge.
+
+Reference wrapper semantics (sam_pt/point_tracker/cotracker/tracker.py):
+resize the video to interp_shape [384, 512] (:90-92), scale queries, append a
+support-point grid every N frames (:98-102), run the windowed model forward,
+then run it again on the time-flipped video and merge wherever the forward
+pass left zeros (before each point's query frame, `_compute_backward_tracks`
+:154-170); visibility = sigmoid > 0.7 (:147); videos shorter than the window
+are padded by repeating the last frame (:12-24).
+
+TPU-first: frame encoding runs once for the whole (resized) video; each
+sliding window is one jitted program over ALL tracks (static shapes); the
+carry between windows is the standard half-window overlap hand-off.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import PointTracker
+from .model import CoTracker
+from ....ops.resize import resize_bilinear
+from ....ops.sampling import bilinear_sample
+
+
+def get_points_on_a_grid(grid_size: int, extent_hw) -> np.ndarray:
+    """[1, grid_size^2, 2] (x, y) support points on an interior grid."""
+    h, w = extent_hw
+    ys = np.linspace(h / (2 * grid_size), h - h / (2 * grid_size), grid_size)
+    xs = np.linspace(w / (2 * grid_size), w - w / (2 * grid_size), grid_size)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    return np.stack([gx, gy], axis=-1).reshape(1, -1, 2).astype(np.float32)
+
+
+class CoTrackerPointTracker(PointTracker):
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        interp_shape=(384, 512),
+        visibility_threshold: float = 0.7,
+        support_grid_size: int = 2,
+        support_grid_every_n_frames: int = 12,
+        add_debug_visualisations: bool = False,
+        s: int = 8,
+        stride: int = 4,
+        iters: int = 6,
+        encode_chunk: int = 8,
+        dtype=jnp.float32,
+        params=None,
+        allow_random_init: bool = False,
+    ):
+        self.interp_shape = tuple(interp_shape) if interp_shape else None
+        self.visibility_threshold = visibility_threshold
+        self.support_grid_size = support_grid_size
+        self.support_grid_every_n_frames = support_grid_every_n_frames
+        self.iters = iters
+        self.encode_chunk = encode_chunk
+        self.model = CoTracker(s=s, stride=stride, dtype=dtype)
+        self.s = s
+        self.stride = stride
+
+        if params is None and checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                from ....utils.checkpoint import load_cotracker_checkpoint
+
+                params = load_cotracker_checkpoint(checkpoint_path)
+            elif not allow_random_init:
+                raise FileNotFoundError(
+                    f"CoTracker checkpoint not found: {checkpoint_path} "
+                    "(set allow_random_init: true to run without weights)"
+                )
+        self.params = params
+
+        self._encode = jax.jit(
+            lambda p, rgbs: self.model.apply(
+                p, rgbs, method=CoTracker.encode_frames
+            )
+        )
+        self._window = jax.jit(self._window_fn, static_argnames=("iters",))
+        self._sample = jax.jit(
+            lambda fmap, xys: bilinear_sample(
+                fmap, xys[:, 0], xys[:, 1], pad_mode="clamp"
+            )
+        )
+
+    def _window_fn(self, params, fmaps_win, coords_init, feats_init,
+                   track_mask, iters):
+        return self.model.apply(
+            params, fmaps_win, coords_init, feats_init, track_mask,
+            iters=iters,
+        )
+
+    def init_params(self, key, height: int = 64, width: int = 64,
+                    n_points: int = 4):
+        h8, w8 = height // self.stride, width // self.stride
+        fmaps = jnp.zeros((self.s, h8, w8, self.model.latent_dim))
+        coords = jnp.zeros((self.s, n_points, 2))
+        feats = jnp.zeros((n_points, self.model.latent_dim))
+        tm = jnp.ones((self.s, n_points))
+        rgbs = jnp.zeros((1, height, width, 3))
+
+        def _init_all(mod, rgbs, fmaps, coords, feats, tm):
+            mod.encode_frames(rgbs)
+            return mod(fmaps, coords, feats, tm, iters=1)
+
+        self.params = self.model.init(
+            key, rgbs, fmaps, coords, feats, tm, method=_init_all
+        )
+        return self.params
+
+    # ------------------------------------------------------------------
+    def _encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
+        t = rgbs.shape[0]
+        out = []
+        ec = self.encode_chunk
+        for i in range(0, t, ec):
+            chunk = jnp.asarray(rgbs[i : i + ec])
+            pad = ec - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], 0
+                )
+            out.append(self._encode(self.params, chunk)[: ec - pad])
+        return jnp.concatenate(out, axis=0)
+
+    def _track(self, rgbs: np.ndarray, queries: np.ndarray):
+        """rgbs [T, h, w, 3] (interp_shape); queries [N, 3] (t, x, y).
+
+        Returns (traj [T, N, 2] float zeros before query frame,
+                 vis [T, N] sigmoid scores).
+        """
+        t, h, w, _ = rgbs.shape
+        s = self.s
+        n = queries.shape[0]
+
+        fmaps = self._encode_video(rgbs)
+
+        q_t = queries[:, 0].astype(np.int64)
+        q_xy_grid = queries[:, 1:] / self.stride
+
+        # per-point features from their query frames
+        feats = np.zeros((n, self.model.latent_dim), np.float32)
+        for f in np.unique(q_t):
+            sel = q_t == f
+            feats[sel] = np.asarray(
+                self._sample(fmaps[int(f)], jnp.asarray(q_xy_grid[sel]))
+            )
+        feats_dev = jnp.asarray(feats)
+
+        track_mask = (np.arange(t)[:, None] >= q_t[None, :]).astype(np.float32)
+
+        starts = list(range(0, max(t - s, 0) + 1, s // 2))
+        if starts[-1] != max(t - s, 0):
+            starts.append(max(t - s, 0))
+
+        traj = np.zeros((t, n, 2), np.float32)
+        vis = np.zeros((t, n), np.float32)
+        carried = np.broadcast_to(q_xy_grid[None], (s, n, 2)).copy()
+
+        for ind in starts:
+            frames = np.minimum(np.arange(ind, ind + s), t - 1)
+            tm = track_mask[frames]
+            # pin frames at-or-before each point's query time to its query loc
+            tg = frames[:, None]
+            coords_init = np.where(
+                (tg <= q_t[None, :])[..., None], q_xy_grid[None], carried
+            )
+            coords_w, vis_w, _ = self._window(
+                self.params,
+                fmaps[jnp.asarray(frames)],
+                jnp.asarray(coords_init),
+                feats_dev,
+                jnp.asarray(tm),
+                iters=self.iters,
+            )
+            coords_w = np.asarray(coords_w)
+            vis_w = np.asarray(vis_w)
+
+            real = frames < t  # all true given clamping; keep for clarity
+            traj[frames] = coords_w * self.stride
+            vis[frames] = 1.0 / (1.0 + np.exp(-vis_w))
+
+            carried = np.concatenate(
+                [coords_w[s // 2 :], np.repeat(coords_w[-1:], s // 2, 0)], 0
+            )
+
+        traj *= track_mask[..., None]
+        vis *= track_mask
+        return traj, vis
+
+    def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
+        assert rgbs.shape[0] == 1, "CoTracker runs per-video"
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+        video = np.asarray(rgbs, np.float32)[0]
+        qp = np.asarray(query_points, np.float32)[0]
+        t, h, w, _ = video.shape
+        n_points = qp.shape[0]
+
+        ih, iw = self.interp_shape or (h, w)
+        if (ih, iw) != (h, w):
+            video = np.asarray(
+                resize_bilinear(jnp.asarray(video), (ih, iw))
+            )
+            qp = qp.copy()
+            qp[:, 1] *= iw / w
+            qp[:, 2] *= ih / h
+
+        # pad short videos by repeating the last frame (reference :12-24)
+        t_orig = t
+        if t < self.s:
+            video = np.concatenate(
+                [video, np.repeat(video[-1:], self.s - t, axis=0)], axis=0
+            )
+            t = self.s
+
+        queries = qp
+        if self.support_grid_size > 0:
+            extra = []
+            for i in range(0, t_orig, self.support_grid_every_n_frames):
+                grid = get_points_on_a_grid(self.support_grid_size, (ih, iw))[0]
+                extra.append(
+                    np.concatenate(
+                        [np.full((len(grid), 1), float(i)), grid], axis=1
+                    )
+                )
+            queries = np.concatenate([qp] + extra, axis=0).astype(np.float32)
+
+        traj_f, vis_f = self._track(video, queries)
+
+        # backward pass on the flipped video; fill zeros from it
+        queries_b = queries.copy()
+        queries_b[:, 0] = t - queries_b[:, 0] - 1
+        traj_b, vis_b = self._track(video[::-1].copy(), queries_b)
+        traj_b = traj_b[::-1]
+        vis_b = vis_b[::-1]
+
+        zero = traj_f == 0
+        traj = np.where(zero, traj_b, traj_f)
+        vis = np.where(zero[..., 0], vis_b, vis_f)
+
+        traj = traj[:t_orig, :n_points]
+        vis = vis[:t_orig, :n_points]
+        vis = (vis > self.visibility_threshold).astype(np.float32)
+        traj = traj.copy()
+        traj[..., 0] *= w / float(iw)
+        traj[..., 1] *= h / float(ih)
+        return traj[None], vis[None]

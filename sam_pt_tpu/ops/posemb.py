@@ -80,3 +80,54 @@ def get_1d_sincos_embedding(
     inv = 1.0 / (temperature ** (freqs / half))
     ang = x[..., None] * inv
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def get_2d_sincos_embedding(
+    xy: jnp.ndarray, num_channels: int, cat_coords: bool = True
+) -> jnp.ndarray:
+    """Per-coordinate interleaved sin/cos embedding for [..., 2] coords.
+
+    Same frequency ladder as get_3d_sincos_embedding (f_k = 2k * 1000 / C),
+    blocks [emb_x, emb_y] with raw coords appended — the flow embedding used
+    by CoTracker-style trackers.
+    """
+    c = num_channels
+    div_term = (
+        jnp.arange(0, c, 2, dtype=jnp.float32) * (1000.0 / c)
+    ).reshape((1,) * (xy.ndim - 1) + (c // 2,))
+
+    def emb(v):
+        ang = v * div_term
+        s = jnp.sin(ang)[..., None]
+        co = jnp.cos(ang)[..., None]
+        return jnp.concatenate([s, co], axis=-1).reshape(*v.shape[:-1], c)
+
+    pe = jnp.concatenate([emb(xy[..., 0:1]), emb(xy[..., 1:2])], axis=-1)
+    if cat_coords:
+        pe = jnp.concatenate([pe, xy], axis=-1)
+    return pe
+
+
+def sincos_pos_embed_2d_grid(embed_dim: int, grid_hw) -> jnp.ndarray:
+    """MAE-style 2D sincos positional embedding table [H, W, embed_dim].
+
+    Half the channels encode y, half encode x; each half is [sin, cos] over
+    omega_k = 1 / 10000^(k / (d/4)).
+    """
+    h, w = grid_hw
+    d_half = embed_dim // 2
+    d_quart = d_half // 2
+    omega = 1.0 / (10000.0 ** (jnp.arange(d_quart, dtype=jnp.float32) / d_quart))
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * omega  # [H, d/4]
+    xs = jnp.arange(w, dtype=jnp.float32)[:, None] * omega  # [W, d/4]
+    emb_y = jnp.concatenate([jnp.sin(ys), jnp.cos(ys)], axis=-1)  # [H, d/2]
+    emb_x = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], axis=-1)  # [W, d/2]
+    out = jnp.concatenate(
+        [
+            jnp.broadcast_to(emb_y[:, None, :], (h, w, d_half)),
+            jnp.broadcast_to(emb_x[None, :, :], (h, w, d_half)),
+        ],
+        axis=-1,
+    )
+    return out

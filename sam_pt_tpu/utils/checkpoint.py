@@ -343,3 +343,82 @@ def load_native(path: str):
 
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# CoTracker conversion
+# ---------------------------------------------------------------------------
+
+def convert_cotracker_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Public cotracker_stride_*_wind_*.pth state dict -> flax params tree.
+
+    Maps the published CoTracker v1 module names (fnet.*, updateformer.*,
+    norm.*, ffeat_updater.*, vis_predictor.*) onto this package's tree.
+    """
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def conv(src, dst):
+        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    conv("fnet.conv1", "fnet/conv1")
+    for li in (1, 2, 3, 4):
+        for bi in range(2):
+            src = f"fnet.layer{li}.{bi}"
+            dst = f"fnet/layer{li}_{bi}"
+            conv(f"{src}.conv1", f"{dst}/conv1")
+            conv(f"{src}.conv2", f"{dst}/conv2")
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{src}.downsample.0", f"{dst}/downsample")
+    conv("fnet.conv2", "fnet/conv2")
+    conv("fnet.conv3", "fnet/conv3")
+
+    uf = "updateformer"
+    put(f"{uf}/input_transform/kernel", linear_w(sd[f"{uf}.input_transform.weight"]))
+    put(f"{uf}/input_transform/bias", _t(sd[f"{uf}.input_transform.bias"]))
+    put(f"{uf}/flow_head/kernel", linear_w(sd[f"{uf}.flow_head.weight"]))
+    put(f"{uf}/flow_head/bias", _t(sd[f"{uf}.flow_head.bias"]))
+
+    def attn_block(src, dst):
+        put(f"{dst}/attn/qkv/kernel", linear_w(sd[f"{src}.attn.qkv.weight"]))
+        put(f"{dst}/attn/qkv/bias", _t(sd[f"{src}.attn.qkv.bias"]))
+        put(f"{dst}/attn/proj/kernel", linear_w(sd[f"{src}.attn.proj.weight"]))
+        put(f"{dst}/attn/proj/bias", _t(sd[f"{src}.attn.proj.bias"]))
+        put(f"{dst}/mlp_fc1/kernel", linear_w(sd[f"{src}.mlp.fc1.weight"]))
+        put(f"{dst}/mlp_fc1/bias", _t(sd[f"{src}.mlp.fc1.bias"]))
+        put(f"{dst}/mlp_fc2/kernel", linear_w(sd[f"{src}.mlp.fc2.weight"]))
+        put(f"{dst}/mlp_fc2/bias", _t(sd[f"{src}.mlp.fc2.bias"]))
+
+    i = 0
+    while f"{uf}.time_blocks.{i}.attn.qkv.weight" in sd:
+        attn_block(f"{uf}.time_blocks.{i}", f"{uf}/time_blocks_{i}")
+        i += 1
+    j = 0
+    while f"{uf}.space_blocks.{j}.attn.qkv.weight" in sd:
+        attn_block(f"{uf}.space_blocks.{j}", f"{uf}/space_blocks_{j}")
+        j += 1
+
+    put("ffeat_norm/scale", _t(sd["norm.weight"]))
+    put("ffeat_norm/bias", _t(sd["norm.bias"]))
+    put("ffeat_updater/kernel", linear_w(sd["ffeat_updater.0.weight"]))
+    put("ffeat_updater/bias", _t(sd["ffeat_updater.0.bias"]))
+    put("vis_predictor/kernel", linear_w(sd["vis_predictor.0.weight"]))
+    put("vis_predictor/bias", _t(sd["vis_predictor.0.bias"]))
+
+    return {"params": p}
+
+
+def load_cotracker_checkpoint(path: str, template=None):
+    sd = load_torch_state_dict(path)
+    params = convert_cotracker_state_dict(sd)
+    if template is not None:
+        validate_against_template(params, template)
+    return params
