@@ -358,19 +358,23 @@ class SamPt:
         images: np.ndarray,
         trajectories: np.ndarray,
         visibilities: np.ndarray,
+        embeddings: Optional[jnp.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched SAM over all (frame, mask) pairs.
 
         Returns (pred_scores [M], logits [M, T, H, W], scores_per_frame [T, M])
         — the reference `_apply_sam_to_trajectories` contract (:694-866).
+        `embeddings` may be precomputed (e.g. once per video for the reinit
+        path, whose windows overlap) — otherwise frames are embedded here.
         """
         t, h, w, _ = images.shape
         _, m, p, _ = trajectories.shape
         original_hw = (h, w)
         predictor = self.sam_predictor
 
-        # 1. Embed all frames once (chunked).
-        embeddings = self._encode_all_frames(images)  # [T, g, g, 256]
+        # 1. Embed all frames once (chunked), unless given.
+        if embeddings is None:
+            embeddings = self._encode_all_frames(images)  # [T, g, g, 256]
 
         # 2. Assemble prompts, flatten (T, M) -> B.
         points, labels = self._build_prompts(trajectories, visibilities)
@@ -514,9 +518,188 @@ class SamPt:
         return low, iou
 
     # ------------------------------------------------------------------
-    # Reinit path (reference :355-543) — implemented in a follow-up commit.
+    # Point re-initialization (reference :355-543)
     # ------------------------------------------------------------------
     def _forward_w_reinit(self, images, query_points):
-        raise NotImplementedError(
-            "point reinitialization lands with the reinit milestone"
-        )
+        """Bidirectional reinit: run the horizon-chunked pipeline on the
+        original and the time-flipped video, stitch at each mask's query frame
+        (reference :355-408)."""
+        t = images.shape[0]
+
+        r2l = self._forward_w_reinit_inner(images, query_points)
+
+        images_flipped = images[::-1].copy()
+        qp_flipped = query_points.copy()
+        qp_flipped[:, :, 0] = t - query_points[:, :, 0] - 1
+        l2r = self._forward_w_reinit_inner(images_flipped, qp_flipped)
+        traj_l, vis_l, logits_l, _, spf_l = l2r
+        traj_l = traj_l[::-1]
+        vis_l = vis_l[::-1]
+        logits_l = logits_l[:, ::-1]
+        spf_l = spf_l[::-1]
+        traj_r, vis_r, logits_r, _, spf_r = r2l
+
+        qts = query_points[:, 0, 0].astype(np.int64)
+        tgrid = np.arange(t)
+        trajectories = traj_r.copy()
+        visibilities = vis_r.copy()
+        logits = logits_r.copy()
+        spf = spf_r.copy()
+        for mi, ts in enumerate(qts):
+            before = tgrid < ts
+            trajectories[before, mi] = traj_l[before, mi]
+            visibilities[before, mi] = vis_l[before, mi]
+            logits[mi, before] = logits_l[mi, before]
+            spf[before, mi] = spf_l[before, mi]
+        assert not np.isnan(trajectories).any()
+        with np.errstate(invalid="ignore"):
+            scores = np.nanmean(spf, axis=0)
+        return trajectories, visibilities, logits, scores, spf
+
+    def _forward_w_reinit_inner(self, images, query_points):
+        """One temporal direction of horizon-chunked tracking with point
+        re-initialization from SAM's predicted masks (reference :410-543).
+
+        TPU-first deltas vs the reference: SAM frame embeddings are computed
+        ONCE for the whole video and sliced per horizon window (the reference
+        re-encodes each overlapping window, :449), and REINIT_FAILED
+        visibility is applied only to the failed masks (the reference marks
+        all currently tracked masks, :538 — a bug we do not replicate; final
+        logits are identical since they are maintained separately).
+        """
+        t, h, w, _ = images.shape
+        m, p, _ = query_points.shape
+        assert self.reinit_point_tracker_horizon >= self.reinit_horizon
+
+        trajectories = np.full((t, m, p, 2), np.nan, np.float32)
+        visibilities = np.zeros((t, m, p), np.float32)
+        scores_per_frame = np.full((t, m), np.nan, np.float32)
+        logits = np.full((m, t, h, w), np.nan, np.float32)
+
+        embeddings = self._encode_all_frames(images)
+
+        current_qp = query_points.copy()
+        start0 = int(query_points[:, 0, 0].min())
+        for start in range(start0, t):
+            end = min(start + self.reinit_horizon, t)
+            end_tracker = min(start + self.reinit_point_tracker_horizon, t)
+            current_ts = current_qp[:, 0, 0].astype(np.int64)
+            tracked = current_ts == start
+            if not tracked.any():
+                continue
+
+            qp_i = current_qp[tracked].copy()
+            qp_i[:, :, 0] -= start
+
+            if hasattr(self.point_tracker, "set_masks"):
+                q_masks = self.extract_query_masks(
+                    images[start:end_tracker], qp_i
+                )
+                self.point_tracker.set_masks(q_masks)
+
+            traj_i, vis_i = self._track_points(images[start:end_tracker], qp_i)
+            traj_i = traj_i[: self.reinit_horizon]
+            vis_i = vis_i[: self.reinit_horizon]
+
+            _, logits_i, spf_i = self._apply_sam(
+                images[start:end],
+                traj_i[: end - start],
+                vis_i[: end - start],
+                embeddings=embeddings[start:end],
+            )
+            pred_masks_i = logits_i > 0  # [m_i, end-start, h, w]
+
+            logits[tracked, start:end] = logits_i
+            trajectories[start:end, tracked] = traj_i[: end - start]
+            visibilities[start:end, tracked] = vis_i[: end - start]
+            scores_per_frame[start:end, tracked] = spf_i
+
+            if end == t:
+                continue
+
+            # mask areas per window frame (excluding the start frame)
+            area = pred_masks_i[:, 1:].sum(axis=(2, 3)).astype(np.float64)
+            area[area <= 25] = np.nan
+            if self.reinit_horizon // 4 < area.shape[1]:
+                area[:, : self.reinit_horizon // 4] = np.nan
+
+            next_ts = self._choose_reinit_timestep(
+                area, pred_masks_i, current_ts, start
+            )
+
+            with np.errstate(invalid="ignore"):
+                chosen_area = area[np.arange(len(next_ts)), next_ts]
+            invalid = np.nan_to_num(chosen_area, nan=np.inf) <= 0
+
+            tracked_idx = np.nonzero(tracked)[0]
+            if (~invalid).any():
+                q_masks = pred_masks_i[:, 1:][
+                    np.arange(len(next_ts)), next_ts
+                ].astype(np.float32)
+                qp_update = self.extract_query_points(
+                    images[start + 1 : end],
+                    q_masks[~invalid],
+                    next_ts[~invalid].astype(np.float32),
+                )
+                valid_idx = tracked_idx[~invalid]
+                current_qp[valid_idx] = qp_update
+                current_qp[valid_idx, :, 0] += start + 1
+
+            if invalid.any():
+                inv_idx = tracked_idx[invalid]
+                current_qp[inv_idx, :, 0] = t  # never tracked again
+                current_qp[inv_idx, :, 1:] = 0
+                trajectories[end:, inv_idx] = -72
+                visibilities[end:, inv_idx] = float(
+                    PointVisibilityType.REINIT_FAILED
+                )
+                logits[inv_idx, end:] = NEG_INF
+
+        with np.errstate(invalid="ignore"):
+            scores = np.nanmean(scores_per_frame, axis=0)
+        # frames never reached keep NaN logits -> treat as empty masks
+        logits = np.nan_to_num(logits, nan=NEG_INF)
+        trajectories = np.nan_to_num(trajectories, nan=-72.0)
+        return trajectories, visibilities, logits, scores, scores_per_frame
+
+    def _choose_reinit_timestep(self, area, pred_masks_i, current_ts, start):
+        """Pick the window frame to re-initialize from, per variant
+        (reference :472-503). Indices are relative to window frames [1:]."""
+        n = area.shape[0]
+        variant = self.reinit_variant
+        if variant == "reinit-on-horizon-and-sync-masks":
+            nxt = self.reinit_horizon - 1 - 1
+            others = current_ts[current_ts > start]
+            if len(others) > 0:
+                nxt = min(nxt, int(others.min()) - start - 1)
+            return np.full((n,), min(nxt, area.shape[1] - 1), np.int64)
+        if variant == "reinit-at-median-of-area-diff":
+            # index of the (nan-)median area per mask
+            out = np.zeros((n,), np.int64)
+            for i in range(n):
+                vals = area[i]
+                if np.isnan(vals).all():
+                    out[i] = 0
+                    continue
+                med = np.nanmedian(vals)
+                # torch nanmedian returns the lower median element's index
+                finite = np.where(np.isnan(vals), np.inf, np.abs(vals - med))
+                out[i] = int(finite.argmin())
+            return out
+        if variant == "reinit-on-similar-mask-area":
+            target = pred_masks_i[:, 0].sum(axis=(1, 2)).astype(np.float64)
+            diff = np.abs(area - target[:, None])
+            diff = np.where(np.isnan(diff), np.inf, diff)
+            return diff.argmin(axis=1)
+        if variant == "reinit-on-similar-mask-area-and-sync-masks":
+            target = pred_masks_i[:, 0].sum(axis=(1, 2)).astype(np.float64)
+            diff = np.abs(area - target[:, None]) / np.maximum(target[:, None], 1)
+            diff = np.where(np.isnan(diff), 720.0, diff)
+            per_frame = diff.sum(axis=0)
+            others = current_ts[current_ts > start]
+            if len(others) > 0:
+                sync = int(others.min()) - start - 1
+                if 0 <= sync < len(per_frame):
+                    per_frame[sync] -= 36.0
+            return np.full((n,), int(per_frame.argmin()), np.int64)
+        raise ValueError(f"Unknown reinit variant: {variant}")

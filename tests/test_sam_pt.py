@@ -97,3 +97,26 @@ class TestPromptAssembly:
             )
         finally:
             model.add_other_objects_positive_points_as_negative_points = False
+
+
+class TestReinit:
+    @pytest.mark.parametrize("variant", [
+        "reinit-on-horizon-and-sync-masks",
+        "reinit-at-median-of-area-diff",
+        "reinit-on-similar-mask-area",
+        "reinit-on-similar-mask-area-and-sync-masks",
+    ])
+    def test_reinit_variants_contract(self, variant):
+        model = build_tiny_sam_pt(
+            use_point_reinit=True,
+            reinit_point_tracker_horizon=4,
+            reinit_horizon=3,
+            reinit_variant=variant,
+        )
+        video = make_video(t=7, with_masks=True)
+        out = model.forward(video)
+        t, h, w = 7, 48, 64
+        assert len(out["logits"]) == 2
+        assert out["logits"][0].shape == (t, h, w)
+        assert np.isfinite(out["trajectories"]).all()
+        assert out["visibilities"].shape[0] == t
