@@ -33,14 +33,33 @@ from .sam_model import Sam
 
 
 class SamPredictor:
-    """Stateless-by-design predictor: params are passed in, jits are cached."""
+    """Stateless-by-design predictor: params are passed in, jits are cached.
 
-    def __init__(self, model: Sam, params, *, antialias: bool = True):
+    Pass a `jax.sharding.Mesh` to run data-parallel over chips: parameters
+    are replicated, batch axes (frames for encode; (frame, object) pairs for
+    decode) are sharded over the mesh's 'data' axis, and XLA partitions the
+    programs — no collectives on this embarrassingly parallel path.
+    """
+
+    def __init__(self, model: Sam, params, *, antialias: bool = True,
+                 mesh=None):
         self.model = model
-        self.params = params
         self.antialias = antialias
-        self._encode_jit = jax.jit(self._encode)
-        self._decode_jit = jax.jit(self._decode)
+        self.mesh = mesh
+        if mesh is not None:
+            from ...parallel.mesh import batch_sharding, replicate
+
+            params = replicate(params, mesh)
+            data = batch_sharding(mesh)
+            self._data_sharding = data
+            self._encode_jit = jax.jit(self._encode, in_shardings=(None, data),
+                                       out_shardings=data)
+            self._decode_jit = jax.jit(self._decode)
+        else:
+            self._data_sharding = None
+            self._encode_jit = jax.jit(self._encode)
+            self._decode_jit = jax.jit(self._decode)
+        self.params = params
 
     # ------------------------------------------------------------------
     # Encoding

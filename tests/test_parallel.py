@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_pt_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    shard_batch,
+)
+from sam_pt_tpu.parallel.eval_sharding import (
+    gather_host_results,
+    shard_videos_across_hosts,
+)
+
+
+class TestMesh:
+    def test_create_mesh_all_devices(self):
+        mesh = create_mesh()
+        assert mesh.devices.size == 8  # conftest forces 8 virtual devices
+
+    def test_shard_and_replicate(self):
+        mesh = create_mesh()
+        x = jnp.arange(16.0).reshape(16, 1)
+        xs = shard_batch(x, mesh)
+        assert xs.sharding.spec == batch_sharding(mesh).spec
+        p = replicate({"w": jnp.ones((3,))}, mesh)
+        assert p["w"].sharding.is_fully_replicated
+
+    def test_sharded_sam_predictor_matches_unsharded(self):
+        from sam_pt_tpu.utils.testing import build_tiny_sam
+        from sam_pt_tpu.models.sam.predictor import SamPredictor
+
+        model, params = build_tiny_sam()
+        mesh = create_mesh()
+
+        pred_plain = SamPredictor(model, params)
+        pred_mesh = SamPredictor(model, params, mesh=mesh)
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(
+            rng.uniform(0, 255, size=(8, 64, 64, 3)).astype(np.float32)
+        )
+        e1 = pred_plain.encode_frames(imgs, (64, 64))
+        e2 = pred_mesh.encode_frames(
+            shard_batch(imgs, mesh), (64, 64)
+        )
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+        pts = jnp.asarray(rng.uniform(0, 60, size=(8, 3, 2)).astype(np.float32))
+        lbl = jnp.ones((8, 3), jnp.int32)
+        m1, i1, _ = pred_plain.predict(e1, pts, lbl, (64, 64))
+        m2, i2, _ = pred_mesh.predict(e2, pts, lbl, (64, 64))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=1e-5)
+
+
+class TestHostSharding:
+    def test_single_process_identity(self):
+        items = list(range(10))
+        assert shard_videos_across_hosts(items) == items
+        assert gather_host_results(["a", "b"]) == ["a", "b"]
