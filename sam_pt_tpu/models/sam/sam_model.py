@@ -34,14 +34,23 @@ class Sam(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        cfg = VIT_VARIANTS[self.encoder_variant]
         grid = self.image_size // 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.image_size,
-            out_chans=self.prompt_embed_dim,
-            dtype=self.dtype,
-            **cfg,
-        )
+        if self.encoder_variant == "vit_t":  # MobileSAM TinyViT
+            from .tiny_vit import TinyViT
+
+            self.image_encoder = TinyViT(
+                img_size=self.image_size,
+                out_chans=self.prompt_embed_dim,
+                dtype=self.dtype,
+            )
+        else:
+            cfg = VIT_VARIANTS[self.encoder_variant]
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.image_size,
+                out_chans=self.prompt_embed_dim,
+                dtype=self.dtype,
+                **cfg,
+            )
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim,
             image_embedding_size=(grid, grid),

@@ -58,7 +58,12 @@ def conv1d_w(x):
 # ---------------------------------------------------------------------------
 
 def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
-    """Public segment-anything sam_vit_*.pth state dict -> flax params tree."""
+    """Public SAM-family .pth state dict -> flax params tree.
+
+    Dispatches on the image-encoder family: ViT-det (`image_encoder.blocks.*`,
+    sam_vit_{b,l,h}) vs TinyViT (`image_encoder.layers.*`, mobile_sam.pt).
+    Prompt encoder and mask decoder are shared.
+    """
     p: Dict[str, Any] = {}
 
     def put(path: str, value):
@@ -68,6 +73,15 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
             node = node.setdefault(k, {})
         node[keys[-1]] = np.asarray(value)
 
+    if any(k.startswith("image_encoder.layers.") for k in sd):
+        _convert_tinyvit_encoder(sd, put)
+    else:
+        _convert_vit_encoder(sd, put)
+    _convert_prompt_and_decoder(sd, put)
+    return {"params": p}
+
+
+def _convert_vit_encoder(sd, put):
     # --- image encoder
     put("image_encoder/patch_embed/kernel", conv_w(sd["image_encoder.patch_embed.proj.weight"]))
     put("image_encoder/patch_embed/bias", _t(sd["image_encoder.patch_embed.proj.bias"]))
@@ -104,6 +118,76 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     put("image_encoder/neck_ln2/weight", _t(sd["image_encoder.neck.3.weight"]))
     put("image_encoder/neck_ln2/bias", _t(sd["image_encoder.neck.3.bias"]))
 
+
+def _convert_tinyvit_encoder(sd, put):
+    """MobileSAM TinyViT encoder (mobile_sam.pt image_encoder.* namespace)."""
+
+    def convbn(src, dst):
+        put(f"{dst}/conv/kernel", conv_w(sd[f"{src}.c.weight"]))
+        put(f"{dst}/bn_scale", _t(sd[f"{src}.bn.weight"]))
+        put(f"{dst}/bn_bias", _t(sd[f"{src}.bn.bias"]))
+        put(f"{dst}/bn_mean", _t(sd[f"{src}.bn.running_mean"]))
+        put(f"{dst}/bn_var", _t(sd[f"{src}.bn.running_var"]))
+
+    enc = "image_encoder"
+    d = "image_encoder"
+    convbn(f"{enc}.patch_embed.seq.0", f"{d}/patch_embed_conv1")
+    convbn(f"{enc}.patch_embed.seq.2", f"{d}/patch_embed_conv2")
+
+    depths = []
+    for li in range(4):
+        n = 0
+        while f"{enc}.layers.{li}.blocks.{n}.conv1.c.weight" in sd or \
+              f"{enc}.layers.{li}.blocks.{n}.attn.qkv.weight" in sd:
+            n += 1
+        depths.append(n)
+
+    # stage 0: MBConv blocks
+    for i in range(depths[0]):
+        src = f"{enc}.layers.0.blocks.{i}"
+        dst = f"{d}/stage0_block{i}"
+        convbn(f"{src}.conv1", f"{dst}/conv1")
+        convbn(f"{src}.conv2", f"{dst}/conv2")
+        convbn(f"{src}.conv3", f"{dst}/conv3")
+
+    # downsamples live at the END of torch layers 0..2 -> our merge{1..3}
+    for li in range(3):
+        src = f"{enc}.layers.{li}.downsample"
+        dst = f"{d}/merge{li + 1}"
+        convbn(f"{src}.conv1", f"{dst}/conv1")
+        convbn(f"{src}.conv2", f"{dst}/conv2")
+        convbn(f"{src}.conv3", f"{dst}/conv3")
+
+    # stages 1..3: transformer blocks
+    for li in range(1, 4):
+        for i in range(depths[li]):
+            src = f"{enc}.layers.{li}.blocks.{i}"
+            dst = f"{d}/stage{li}_block{i}"
+            put(f"{dst}/attn/norm/scale", _t(sd[f"{src}.attn.norm.weight"]))
+            put(f"{dst}/attn/norm/bias", _t(sd[f"{src}.attn.norm.bias"]))
+            put(f"{dst}/attn/qkv/kernel", linear_w(sd[f"{src}.attn.qkv.weight"]))
+            put(f"{dst}/attn/qkv/bias", _t(sd[f"{src}.attn.qkv.bias"]))
+            put(f"{dst}/attn/proj/kernel", linear_w(sd[f"{src}.attn.proj.weight"]))
+            put(f"{dst}/attn/proj/bias", _t(sd[f"{src}.attn.proj.bias"]))
+            put(f"{dst}/attn/attention_biases", _t(sd[f"{src}.attn.attention_biases"]))
+            convbn(f"{src}.local_conv", f"{dst}/local_conv")
+            put(f"{dst}/mlp_norm/scale", _t(sd[f"{src}.mlp.norm.weight"]))
+            put(f"{dst}/mlp_norm/bias", _t(sd[f"{src}.mlp.norm.bias"]))
+            put(f"{dst}/mlp_fc1/kernel", linear_w(sd[f"{src}.mlp.fc1.weight"]))
+            put(f"{dst}/mlp_fc1/bias", _t(sd[f"{src}.mlp.fc1.bias"]))
+            put(f"{dst}/mlp_fc2/kernel", linear_w(sd[f"{src}.mlp.fc2.weight"]))
+            put(f"{dst}/mlp_fc2/bias", _t(sd[f"{src}.mlp.fc2.bias"]))
+
+    convbn_like_neck = f"{enc}.neck"
+    put(f"{d}/neck_conv1/kernel", conv_w(sd[f"{convbn_like_neck}.0.weight"]))
+    put(f"{d}/neck_ln1/weight", _t(sd[f"{convbn_like_neck}.1.weight"]))
+    put(f"{d}/neck_ln1/bias", _t(sd[f"{convbn_like_neck}.1.bias"]))
+    put(f"{d}/neck_conv2/kernel", conv_w(sd[f"{convbn_like_neck}.2.weight"]))
+    put(f"{d}/neck_ln2/weight", _t(sd[f"{convbn_like_neck}.3.weight"]))
+    put(f"{d}/neck_ln2/bias", _t(sd[f"{convbn_like_neck}.3.bias"]))
+
+
+def _convert_prompt_and_decoder(sd, put):
     # --- prompt encoder
     put(
         "prompt_encoder/pe_layer/gaussian_matrix",
@@ -187,8 +271,6 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
         d = f"mask_decoder/iou_prediction_head/layers_{j}"
         put(f"{d}/kernel", linear_w(sd[f"{s}.weight"]))
         put(f"{d}/bias", _t(sd[f"{s}.bias"]))
-
-    return {"params": p}
 
 
 # ---------------------------------------------------------------------------
