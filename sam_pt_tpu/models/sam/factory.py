@@ -30,14 +30,19 @@ def build_predictor(
     dtype: str = "bfloat16",
     image_size: int = 1024,
     allow_random_init: bool = False,
+    hq: bool = False,
+    hq_token_only: bool = False,
     seed: int = 0,
+    mesh=None,
 ) -> SamPredictor:
-    """Build a SamPredictor for a ViT variant, converting a torch checkpoint.
+    """Build a SamPredictor for a ViT/TinyViT variant (+ optional HQ decoder),
+    converting a torch checkpoint.
 
     If `checkpoint` is missing and allow_random_init is set, parameters are
     randomly initialized (tests / benchmarking without weights).
     """
     model = Sam(encoder_variant=variant, image_size=image_size,
+                use_hq=hq, hq_token_only=hq_token_only,
                 dtype=_DTYPES[dtype])
 
     if checkpoint is not None and os.path.exists(checkpoint):
@@ -61,4 +66,4 @@ def build_predictor(
             f"SAM checkpoint not found: {checkpoint} "
             "(set allow_random_init: true to run without weights)"
         )
-    return SamPredictor(model, params)
+    return SamPredictor(model, params, mesh=mesh)

@@ -226,8 +226,10 @@ class ImageEncoderViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, H, W, 3] normalized float; returns [B, H/16, W/16, out_chans]."""
+    def __call__(self, x: jnp.ndarray, return_interm: bool = False):
+        """x: [B, H, W, 3] normalized float; returns [B, H/16, W/16, out_chans]
+        (plus, if return_interm, the first global-attention block's output —
+        the `interm_embeddings[0]` consumed by the HQ-SAM decoder)."""
         grid = self.img_size // self.patch_size
         x = nn.Conv(
             self.embed_dim,
@@ -243,6 +245,7 @@ class ImageEncoderViT(nn.Module):
             )
             x = x + pos_embed.astype(x.dtype)
 
+        interm = None
         for i in range(self.depth):
             x = Block(
                 num_heads=self.num_heads,
@@ -252,6 +255,8 @@ class ImageEncoderViT(nn.Module):
                 name=f"blocks_{i}",
                 dtype=self.dtype,
             )(x)
+            if interm is None and i in self.global_attn_indexes:
+                interm = x
 
         # Neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d, all in NHWC.
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, name="neck_conv1",
@@ -260,6 +265,8 @@ class ImageEncoderViT(nn.Module):
         x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
                     name="neck_conv2", dtype=self.dtype)(x)
         x = LayerNorm2d(name="neck_ln2")(x)
+        if return_interm:
+            return x, interm
         return x
 
 

@@ -23,7 +23,11 @@ PIXEL_STD = (58.395, 57.12, 57.375)
 
 
 class Sam(nn.Module):
-    """SAM: promptable segmentation. mask_threshold = 0.0 (logits > 0)."""
+    """SAM: promptable segmentation. mask_threshold = 0.0 (logits > 0).
+
+    use_hq swaps in the HQ-SAM mask decoder (MaskDecoderHQ), which consumes
+    early encoder features; embeddings then flow as {'emb', 'interm'} dicts.
+    """
 
     encoder_variant: str = "vit_b"
     image_size: int = 1024
@@ -31,6 +35,8 @@ class Sam(nn.Module):
     mask_threshold: float = 0.0
     pixel_mean: Tuple[float, float, float] = PIXEL_MEAN
     pixel_std: Tuple[float, float, float] = PIXEL_STD
+    use_hq: bool = False
+    hq_token_only: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -57,9 +63,23 @@ class Sam(nn.Module):
             input_image_size=(self.image_size, self.image_size),
             dtype=self.dtype,
         )
-        self.mask_decoder = MaskDecoder(
-            transformer_dim=self.prompt_embed_dim, dtype=self.dtype
-        )
+        if self.use_hq:
+            from .mask_decoder_hq import MaskDecoderHQ
+            from .image_encoder import VIT_VARIANTS as _VV
+
+            vit_dim = (
+                320 if self.encoder_variant == "vit_t"
+                else _VV[self.encoder_variant]["embed_dim"]
+            )
+            self.mask_decoder = MaskDecoderHQ(
+                transformer_dim=self.prompt_embed_dim,
+                vit_dim=vit_dim,
+                dtype=self.dtype,
+            )
+        else:
+            self.mask_decoder = MaskDecoder(
+                transformer_dim=self.prompt_embed_dim, dtype=self.dtype
+            )
 
     def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] float RGB 0-255 (already longest-side resized) ->
@@ -71,10 +91,15 @@ class Sam(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, self.image_size - h), (0, self.image_size - w), (0, 0)))
         return x.astype(self.dtype)
 
-    def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
+    def encode_images(self, images: jnp.ndarray):
         """[B, h, w, 3] float 0-255 (longest side == image_size after resize)
-        -> image embeddings [B, grid, grid, 256]."""
-        return self.image_encoder(self.preprocess(images))
+        -> image embeddings [B, grid, grid, 256]; with use_hq, a dict
+        {'emb': ..., 'interm': [B, grid, grid, vit_dim]}."""
+        x = self.preprocess(images)
+        if self.use_hq:
+            emb, interm = self.image_encoder(x, return_interm=True)
+            return {"emb": emb, "interm": interm}
+        return self.image_encoder(x)
 
     def decode_masks(
         self,
@@ -91,6 +116,29 @@ class Sam(nn.Module):
         """
         sparse, dense = self.prompt_encoder(points, labels, mask_input, mask_valid)
         image_pe = self.prompt_encoder.get_dense_pe()
+        if self.use_hq:
+            from .mask_decoder_hq import select_hq_masks
+
+            emb = image_embeddings["emb"]
+            interm = image_embeddings["interm"]
+            masks, iou_pred = self.mask_decoder(
+                emb.astype(self.dtype),
+                image_pe.astype(self.dtype),
+                sparse.astype(self.dtype),
+                dense.astype(self.dtype),
+                interm,
+            )
+            masks = masks.astype(jnp.float32)
+            iou_pred = iou_pred.astype(jnp.float32)
+            # fold HQ selection into the same [B, 4, h, w] token layout the
+            # callers expect: token 0 := single-mask HQ result, 1:4 := sam multi
+            hq_single, hq_iou = select_hq_masks(
+                masks, iou_pred, multimask_output=False,
+                hq_token_only=self.hq_token_only,
+            )
+            masks_out = jnp.concatenate([hq_single, masks[:, 1:4]], axis=1)
+            iou_out = jnp.concatenate([hq_iou, iou_pred[:, 1:4]], axis=1)
+            return masks_out, iou_out
         masks, iou_pred = self.mask_decoder(
             image_embeddings.astype(self.dtype),
             image_pe.astype(self.dtype),

@@ -199,7 +199,10 @@ class TinyViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [B, H, W, 3] normalized
+    def __call__(self, x, return_interm: bool = False):
+        # [B, H, W, 3] normalized. For Light HQ-SAM, `interm` is the pre-neck
+        # 320-d stage output at the 64x64 grid (documented assumption — the
+        # ViT variants use the first global-attention block output instead).
         d = self.dtype
         # stem: two stride-2 ConvBN+GELU -> /4
         x = ConvBN(self.embed_dims[0] // 2, (3, 3), strides=(2, 2), padding=1,
@@ -225,6 +228,8 @@ class TinyViT(nn.Module):
                     dtype=d,
                 )(x)
 
+        interm = x  # pre-neck stage-3 features
+
         # SAM neck
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, name="neck_conv1",
                     dtype=d)(x)
@@ -232,4 +237,6 @@ class TinyViT(nn.Module):
         x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
                     name="neck_conv2", dtype=d)(x)
         x = LayerNorm2d(name="neck_ln2")(x)
+        if return_interm:
+            return x, interm
         return x

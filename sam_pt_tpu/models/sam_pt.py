@@ -44,6 +44,11 @@ from .tracker.api import PointTracker
 NEG_INF = -float("inf")
 
 
+def _emb_index(embeddings, idx):
+    """Index precomputed embeddings (array, or {'emb','interm'} dict for HQ)."""
+    return jax.tree_util.tree_map(lambda a: a[idx], embeddings)
+
+
 class SamPt:
     def __init__(
         self,
@@ -399,7 +404,7 @@ class SamPt:
             pad = chunk - nb
             idx = np.concatenate([np.arange(sl.start, sl.stop),
                                   np.full(pad, sl.start)])
-            emb = embeddings[jnp.asarray(emb_flat[idx])]
+            emb = _emb_index(embeddings, jnp.asarray(emb_flat[idx]))
             pts = jnp.asarray(pts_flat[idx])
             lbl = jnp.asarray(lbl_flat[idx])
             low_res, iou = self._decode_pair_chunk(emb, pts, lbl, original_hw)
@@ -605,7 +610,7 @@ class SamPt:
                 images[start:end],
                 traj_i[: end - start],
                 vis_i[: end - start],
-                embeddings=embeddings[start:end],
+                embeddings=_emb_index(embeddings, slice(start, end)),
             )
             pred_masks_i = logits_i > 0  # [m_i, end-start, h, w]
 

@@ -272,6 +272,29 @@ def _convert_prompt_and_decoder(sd, put):
         put(f"{d}/kernel", linear_w(sd[f"{s}.weight"]))
         put(f"{d}/bias", _t(sd[f"{s}.bias"]))
 
+    # HQ-SAM extras (sam_hq_vit_*.pth)
+    if "mask_decoder.hf_token.weight" in sd:
+        put("mask_decoder/hf_token", _t(sd["mask_decoder.hf_token.weight"]))
+        for j in range(3):
+            s = f"mask_decoder.hf_mlp.layers.{j}"
+            put(f"mask_decoder/hf_mlp/layers_{j}/kernel", linear_w(sd[f"{s}.weight"]))
+            put(f"mask_decoder/hf_mlp/layers_{j}/bias", _t(sd[f"{s}.bias"]))
+        triples = [
+            ("mask_decoder.embedding_encoder", "embedding_encoder_conv1",
+             "embedding_encoder_ln", "embedding_encoder_conv2", convt_w),
+            ("mask_decoder.compress_vit_feat", "compress_vit_conv1",
+             "compress_vit_ln", "compress_vit_conv2", convt_w),
+            ("mask_decoder.embedding_maskfeature", "maskfeature_conv1",
+             "maskfeature_ln", "maskfeature_conv2", conv_w),
+        ]
+        for src, c1, ln, c2, wfn in triples:
+            put(f"mask_decoder/{c1}/kernel", wfn(sd[f"{src}.0.weight"]))
+            put(f"mask_decoder/{c1}/bias", _t(sd[f"{src}.0.bias"]))
+            put(f"mask_decoder/{ln}/weight", _t(sd[f"{src}.1.weight"]))
+            put(f"mask_decoder/{ln}/bias", _t(sd[f"{src}.1.bias"]))
+            put(f"mask_decoder/{c2}/kernel", wfn(sd[f"{src}.3.weight"]))
+            put(f"mask_decoder/{c2}/bias", _t(sd[f"{src}.3.bias"]))
+
 
 # ---------------------------------------------------------------------------
 # PIPS conversion
