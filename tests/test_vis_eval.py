@@ -1,0 +1,163 @@
+"""VIS stack tests: RLE codec, video AP, auto mask generator, end-to-end."""
+import json
+import os
+from os import path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sam_pt_tpu.vis_eval.rle import (
+    compress_counts,
+    decode_mask,
+    decompress_counts,
+    encode_mask,
+    mask_to_rle_counts,
+    rle_counts_to_mask,
+)
+from sam_pt_tpu.vis_eval.ytvos_eval import YTVOSEvaluator, track_iou
+
+
+class TestRLE:
+    def test_roundtrip(self, rng):
+        mask = rng.uniform(size=(23, 31)) > 0.6
+        rle = encode_mask(mask)
+        back = decode_mask(rle)
+        np.testing.assert_array_equal(back, mask)
+
+    def test_counts_compression_roundtrip(self, rng):
+        counts = [0, 5, 3, 100, 2, 713]
+        assert decompress_counts(compress_counts(counts)) == counts
+
+    def test_counts_fortran_order(self):
+        mask = np.zeros((3, 2), np.uint8)
+        mask[0, 0] = 1  # first element in column-major order
+        assert mask_to_rle_counts(mask) == [0, 1, 5]
+        np.testing.assert_array_equal(
+            rle_counts_to_mask([0, 1, 5], (3, 2)), mask.astype(bool)
+        )
+
+
+class TestTrackIoU:
+    def test_identical_and_disjoint(self):
+        a = np.zeros((8, 8), bool)
+        a[2:5, 2:5] = True
+        b = np.zeros((8, 8), bool)
+        b[6:8, 6:8] = True
+        assert track_iou([a, a], [a, a]) == 1.0
+        assert track_iou([a], [b]) == 0.0
+        # None frames contribute zero intersection but full union
+        assert track_iou([a, None], [a, a]) == pytest.approx(9 / 18)
+
+
+def make_gt(n_videos=1, t=3, h=16, w=16):
+    videos, anns = [], []
+    for v in range(n_videos):
+        videos.append({"id": v + 1, "height": h, "width": w, "length": t,
+                       "file_names": [f"v{v}/{i:05d}.jpg" for i in range(t)]})
+        mask = np.zeros((h, w), bool)
+        mask[4:10, 4:10] = True
+        anns.append({
+            "id": v + 1, "video_id": v + 1, "category_id": 1,
+            "segmentations": [encode_mask(mask)] * t, "iscrowd": 0,
+        })
+    return {"videos": videos, "annotations": anns,
+            "categories": [{"id": 1, "name": "object"}]}
+
+
+class TestVideoAP:
+    def test_perfect_detection(self):
+        gt = make_gt()
+        mask = np.zeros((16, 16), bool)
+        mask[4:10, 4:10] = True
+        dets = [{
+            "video_id": 1, "category_id": 1, "score": 0.9,
+            "segmentations": [encode_mask(mask)] * 3,
+        }]
+        m = YTVOSEvaluator(gt).evaluate(dets)
+        assert m["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert m["AR@100"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_miss(self):
+        gt = make_gt()
+        mask = np.zeros((16, 16), bool)
+        mask[0:2, 0:2] = True
+        dets = [{
+            "video_id": 1, "category_id": 1, "score": 0.9,
+            "segmentations": [encode_mask(mask)] * 3,
+        }]
+        m = YTVOSEvaluator(gt).evaluate(dets)
+        assert m["AP"] == 0.0
+
+
+class TestAutoMaskGenerator:
+    def test_generate_contract(self, rng):
+        from sam_pt_tpu.models.sam.auto_mask_generator import (
+            SamAutomaticMaskGenerator,
+        )
+        from sam_pt_tpu.utils.testing import build_tiny_predictor
+
+        gen = SamAutomaticMaskGenerator(
+            model=build_tiny_predictor(),
+            points_per_side=3,
+            points_per_batch=4,
+            pred_iou_thresh=-1e9,  # random weights -> keep everything
+            stability_score_thresh=0.0,
+        )
+        img = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+        records = gen.generate(img)
+        # random weights may or may not produce masks; check record schema
+        for r in records:
+            assert set(r) >= {"segmentation", "bbox", "predicted_iou",
+                              "point_coords", "stability_score", "area"}
+            assert r["segmentation"].shape == (48, 64)
+
+
+class TestEndToEndVIS:
+    def test_synthetic_uvo(self, tmp_path, rng):
+        from sam_pt_tpu.vis_eval.datasets import register_dataset
+        from sam_pt_tpu.vis_eval.eval import evaluate
+
+        t, h, w = 3, 48, 64
+        gt = make_gt(1, t, h, w)
+        img_root = tmp_path / "frames"
+        os.makedirs(img_root / "v0")
+        for i in range(t):
+            Image.fromarray(
+                rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+            ).save(img_root / "v0" / f"{i:05d}.jpg")
+        json_file = tmp_path / "gt.json"
+        with open(json_file, "w") as f:
+            json.dump(gt, f)
+        register_dataset("synthetic_vis", str(json_file), str(img_root),
+                         class_agnostic=True)
+
+        cfg = {
+            "seed": 72,
+            "dataset": "synthetic_vis",
+            "output": str(tmp_path / "out"),
+            "score": True,
+            "max_videos": None,
+            "model": {
+                "_target_": "sam_pt_tpu.vis_eval.adapter.SamBasedVisToVosAdapter",
+                "max_num_masks": 5,
+                "masks_batch_size": 5,
+                "model": {
+                    "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
+                    "height": h, "width": w,
+                },
+                "sam_generator": {
+                    "_target_": "sam_pt_tpu.models.sam.auto_mask_generator.SamAutomaticMaskGenerator",
+                    "model": {
+                        "_target_": "sam_pt_tpu.utils.testing.build_tiny_predictor",
+                    },
+                    "points_per_side": 3,
+                    "points_per_batch": 4,
+                    "pred_iou_thresh": -1e9,
+                    "stability_score_thresh": 0.0,
+                },
+            },
+        }
+        results = evaluate(cfg)
+        assert "AP" in results
+        assert os.path.exists(tmp_path / "out" / "results.json")
