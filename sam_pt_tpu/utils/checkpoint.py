@@ -527,3 +527,70 @@ def load_cotracker_checkpoint(path: str, template=None):
     if template is not None:
         validate_against_template(params, template)
     return params
+
+
+# ---------------------------------------------------------------------------
+# RAFT conversion
+# ---------------------------------------------------------------------------
+
+def convert_raft_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Public raft-things.pth (DataParallel 'module.' prefixes stripped, as in
+    reference raftnet.py:20-27) -> flax params tree."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def conv(src, dst):
+        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    def bn(src, dst):
+        put(f"{dst}/scale", _t(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+        put(f"{dst}/mean", _t(sd[f"{src}.running_mean"]))
+        put(f"{dst}/var", _t(sd[f"{src}.running_var"]))
+
+    for net, has_bn in (("fnet", False), ("cnet", True)):
+        conv(f"{net}.conv1", f"{net}/conv1")
+        if has_bn:
+            bn(f"{net}.norm1", f"{net}/norm1")
+        for li in (1, 2, 3):
+            for bi in range(2):
+                src = f"{net}.layer{li}.{bi}"
+                dst = f"{net}/layer{li}_{bi}"
+                conv(f"{src}.conv1", f"{dst}/conv1")
+                conv(f"{src}.conv2", f"{dst}/conv2")
+                if has_bn:
+                    bn(f"{src}.norm1", f"{dst}/norm1")
+                    bn(f"{src}.norm2", f"{dst}/norm2")
+                if f"{src}.downsample.0.weight" in sd:
+                    conv(f"{src}.downsample.0", f"{dst}/downsample")
+                    if has_bn:
+                        bn(f"{src}.downsample.1", f"{dst}/norm3")
+        conv(f"{net}.conv2", f"{net}/conv2")
+
+    ub = "update_block"
+    for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
+        conv(f"{ub}.encoder.{name}", f"{ub}/encoder/{name}")
+    for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        conv(f"{ub}.gru.{name}", f"{ub}/gru/{name}")
+    conv(f"{ub}.flow_head.conv1", f"{ub}/flow_head_conv1")
+    conv(f"{ub}.flow_head.conv2", f"{ub}/flow_head_conv2")
+    conv(f"{ub}.mask.0", f"{ub}/mask_conv1")
+    conv(f"{ub}.mask.2", f"{ub}/mask_conv2")
+    return {"params": p}
+
+
+def load_raft_checkpoint(path: str, template=None):
+    sd = load_torch_state_dict(path)
+    params = convert_raft_state_dict(sd)
+    if template is not None:
+        validate_against_template(params, template)
+    return params
