@@ -594,3 +594,65 @@ def load_raft_checkpoint(path: str, template=None):
     if template is not None:
         validate_against_template(params, template)
     return params
+
+
+# ---------------------------------------------------------------------------
+# PIPS++ conversion
+# ---------------------------------------------------------------------------
+
+def conv1d_k_w(x):
+    """torch Conv1d weight [out, in, k] -> flax kernel [k, in, out]."""
+    return _t(x).transpose(2, 1, 0)
+
+
+def convert_pips2_state_dict(sd: Dict[str, Any], n_block: int = 8) -> Dict[str, Any]:
+    """Public PIPS++ (pips2) reference checkpoint -> flax params tree."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def conv2d(src, dst):
+        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    conv2d("fnet.conv1", "fnet/conv1")
+    for li in (1, 2, 3, 4):
+        for bi in range(2):
+            src = f"fnet.layer{li}.{bi}"
+            dst = f"fnet/layer{li}_{bi}"
+            conv2d(f"{src}.conv1", f"{dst}/conv1")
+            conv2d(f"{src}.conv2", f"{dst}/conv2")
+            if f"{src}.downsample.0.weight" in sd:
+                conv2d(f"{src}.downsample.0", f"{dst}/downsample")
+    conv2d("fnet.conv2", "fnet/conv2")
+    conv2d("fnet.conv3", "fnet/conv3")
+
+    db = "delta_block"
+    put(f"{db}/first_block_conv/kernel",
+        conv1d_k_w(sd[f"{db}.first_block_conv.conv.weight"]))
+    put(f"{db}/first_block_conv/bias", _t(sd[f"{db}.first_block_conv.conv.bias"]))
+    for i in range(n_block):
+        src = f"{db}.basicblock_list.{i}"
+        dst = f"{db}/block_{i}"
+        put(f"{dst}/conv1/kernel", conv1d_k_w(sd[f"{src}.conv1.conv.weight"]))
+        put(f"{dst}/conv1/bias", _t(sd[f"{src}.conv1.conv.bias"]))
+        put(f"{dst}/conv2/kernel", conv1d_k_w(sd[f"{src}.conv2.conv.weight"]))
+        put(f"{dst}/conv2/bias", _t(sd[f"{src}.conv2.conv.bias"]))
+    put(f"{db}/dense/kernel", linear_w(sd[f"{db}.dense.weight"]))
+    put(f"{db}/dense/bias", _t(sd[f"{db}.dense.bias"]))
+    return {"params": p}
+
+
+def load_pips2_checkpoint(path: str, template=None):
+    file = resolve_pips_checkpoint_file(path)
+    sd = load_torch_state_dict(file)
+    params = convert_pips2_state_dict(sd)
+    if template is not None:
+        validate_against_template(params, template)
+    return params
