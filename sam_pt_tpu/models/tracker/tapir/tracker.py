@@ -1,0 +1,116 @@
+"""TAPIR point tracker wrapper.
+
+Reference semantics (sam_pt/point_tracker/tapir/tracker.py): resize the video
+to 256x256 (:76-94), convert (t, x, y) queries to scaled (t, y, x), run the
+jitted model with queries chunked to bound cost-volume memory (:58,
+query_chunk_size 64), visibility = (1 - sigmoid(occlusion)) *
+(1 - sigmoid(expected_dist)) > visibility_threshold (:103-104, 0.1), rescale
+trajectories back.
+
+Fixes the reference's noted inefficiency of re-creating the jitted function
+on every call (tracker.py:97 — flagged in SURVEY.md §2.3): the jit is built
+once in the constructor.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import PointTracker
+from .model import TAPIR, TRAIN_SIZE
+from ....ops.resize import resize_bilinear
+
+
+class TapirPointTracker(PointTracker):
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        visibility_threshold: float = 0.1,
+        query_chunk_size: int = 64,
+        dtype=jnp.float32,
+        params=None,
+        allow_random_init: bool = False,
+    ):
+        self.visibility_threshold = visibility_threshold
+        self.query_chunk_size = query_chunk_size
+        self.model = TAPIR(dtype=dtype)
+
+        if params is None and checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                from ....utils.checkpoint import load_tapir_checkpoint
+
+                params = load_tapir_checkpoint(checkpoint_path)
+            elif not allow_random_init:
+                raise FileNotFoundError(
+                    f"TAPIR checkpoint not found: {checkpoint_path}"
+                )
+        self.params = params
+
+        # jit once (the reference re-jits per call — tracker.py:97)
+        self._forward_jit = jax.jit(
+            lambda p, video, qp: self.model.apply(p, video, qp)
+        )
+
+    def init_params(self, key, t: int = 2, n_points: int = 4):
+        video = jnp.zeros((t, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))
+        qp = jnp.zeros((n_points, 3))
+        self.params = self.model.init(key, video, qp)
+        return self.params
+
+    def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
+        assert rgbs.shape[0] == 1, "TAPIR runs per-video"
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+        video = np.asarray(rgbs, np.float32)[0]
+        qp = np.asarray(query_points, np.float32)[0]
+        t, h, w, _ = video.shape
+        n = qp.shape[0]
+
+        frames = np.asarray(
+            resize_bilinear(jnp.asarray(video), TRAIN_SIZE)
+        )
+        frames = frames / 255.0 * 2.0 - 1.0
+
+        # (t, x, y) -> scaled (t, y, x) in 256-raster coords
+        q_tyx = np.stack(
+            [
+                qp[:, 0],
+                qp[:, 2] * (TRAIN_SIZE[0] / h),
+                qp[:, 1] * (TRAIN_SIZE[1] / w),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+        frames_dev = jnp.asarray(frames)
+        cs = min(self.query_chunk_size, n)
+        tracks = np.zeros((n, t, 2), np.float32)
+        occ = np.zeros((n, t), np.float32)
+        expd = np.zeros((n, t), np.float32)
+        for i in range(0, n, cs):
+            chunk = q_tyx[i : i + cs]
+            pad = cs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            out = self._forward_jit(self.params, frames_dev, jnp.asarray(chunk))
+            nb = cs - pad
+            tracks[i : i + nb] = np.asarray(out["tracks"])[:nb]
+            occ[i : i + nb] = np.asarray(out["occlusion"])[:nb]
+            expd[i : i + nb] = np.asarray(out["expected_dist"])[:nb]
+
+        # visibility = (1 - sigmoid(occ)) * (1 - sigmoid(expd)) > threshold
+        visibles = (
+            (1 - 1 / (1 + np.exp(-occ))) * (1 - 1 / (1 + np.exp(-expd)))
+            > self.visibility_threshold
+        )
+
+        tracks[..., 0] *= w / TRAIN_SIZE[1]
+        tracks[..., 1] *= h / TRAIN_SIZE[0]
+
+        trajectories = tracks.transpose(1, 0, 2)  # [T, N, 2]
+        visibilities = visibles.T.astype(np.float32)
+        return trajectories[None], visibilities[None]

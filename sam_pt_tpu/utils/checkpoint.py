@@ -656,3 +656,89 @@ def load_pips2_checkpoint(path: str, template=None):
     if template is not None:
         validate_against_template(params, template)
     return params
+
+
+# ---------------------------------------------------------------------------
+# TAPIR / TapNet conversion (haiku numpy-pickle checkpoints)
+# ---------------------------------------------------------------------------
+
+def load_haiku_npy(path: str) -> Dict[str, Any]:
+    """Load a numpy-pickled haiku params dict (reference tapir/tracker.py:44)."""
+    raw = np.load(path, allow_pickle=True).item()
+    if "params" in raw:  # cleaned checkpoints store {'params': ..., 'state':}
+        raw = raw["params"]
+    return raw
+
+
+def convert_tapir_haiku_params(hk_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Haiku TAPIR checkpoint -> this package's flax tree.
+
+    Haiku module paths ('tapir/~/resnet/~/block_group_i/~/block_j/~/conv_0',
+    'tapir/~/pips_mlp_mixer/block_k/...') map onto our module names; haiku
+    conv kernels are already [kh, kw, in, out] (no transpose needed), linear
+    kernels are [in, out].
+    """
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def find(substr):
+        hits = [k for k in hk_params if substr in k]
+        return hits
+
+    for key, leaf in hk_params.items():
+        parts = key.replace("~/", "").replace("tapir/", "").split("/")
+        mapped = _map_tapir_module(parts)
+        if mapped is None:
+            continue
+        for wname, w in leaf.items():
+            out_name = {"w": "kernel", "b": "bias",
+                        "scale": "scale", "offset": "offset"}.get(wname, wname)
+            put(f"{mapped}/{out_name}", np.asarray(w))
+    return {"params": p}
+
+
+def _map_tapir_module(parts):
+    """Map haiku module path parts to our flax module path (best effort)."""
+    joined = "/".join(parts)
+    if parts[0] == "resnet":
+        if parts[-1] == "initial_conv":
+            return "resnet/initial_conv"
+        # block_group_i/block_j/{conv_k, shortcut_conv, instancenorm_k}
+        import re as _re
+
+        m = _re.search(r"block_group_(\d)(?:/block_(\d))?/?(.*)", joined)
+        if not m:
+            return None
+        gi, bi, rest = m.group(1), m.group(2) or "0", m.group(3)
+        base = f"resnet/group{gi}_block{bi}"
+        rest = rest.strip("/")
+        if rest.startswith("conv_"):
+            return f"{base}/{rest}"
+        if rest == "shortcut_conv":
+            return f"{base}/shortcut_conv"
+        if rest.startswith("instancenorm_"):
+            idx = rest.split("_")[-1]
+            return f"{base}/norm_{idx}"
+        return None
+    if parts[0] == "pips_mlp_mixer":
+        return None  # handled by the mixer-specific pass (name layouts differ)
+    mapping = {
+        "cost_volume_regression_1": "cost_volume_regression_1",
+        "cost_volume_regression_2": "cost_volume_regression_2",
+        "cost_volume_occlusion_1": "cost_volume_occlusion_1",
+        "cost_volume_occlusion_2": "cost_volume_occlusion_2",
+        "occlusion_out": "occlusion_out",
+    }
+    return mapping.get(parts[-1])
+
+
+def load_tapir_checkpoint(path: str, template=None):
+    hk_params = load_haiku_npy(path)
+    params = convert_tapir_haiku_params(hk_params)
+    return params
