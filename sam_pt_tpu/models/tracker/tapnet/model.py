@@ -1,0 +1,193 @@
+"""TapNet (TAP-Net) point tracker model, re-housed from Haiku to Flax.
+
+Re-implements the reference's in-repo JAX/Haiku TAP-Net
+(sam_pt/point_tracker/tapnet/tapnet_model.py + models/tsm_resnet.py):
+
+  - TSM-ResNet-50-v2 video backbone: bottleneck pre-activation blocks with a
+    Temporal Shift Module in the first two stages (channel_shift_fraction
+    [.125, .125, 0, 0]); final endpoint 'tsm_resnet_unit_2' at output stride
+    8 (1024 channels), L2-normalized.
+  - A single cost volume between query features and the whole feature grid
+    (multi-head split), conv regression head -> spatially softmaxed heatmap
+    (temperature 10) -> truncated soft-argmax points, and an occlusion head
+    (reference :247-305).
+  - Query chunking to bound the cost-volume footprint (:400-409) lives in
+    the tracker wrapper.
+
+Inference-mode BatchNorm (running stats as params, checkpoint-supplied). The
+dormant `cross_replica_axis='i'` hook of the reference (:206-212) is not
+needed: batch statistics are frozen at inference.
+Operates per video (no batch axis).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..raft.model import InferenceBatchNorm
+from ..tapir.model import convert_coords, l2_normalize, soft_argmax_heatmap
+from ....ops.sampling import bilinear_sample
+
+TRAIN_SIZE = (256, 256)
+
+
+def temporal_shift(x: jnp.ndarray, fraction: float) -> jnp.ndarray:
+    """TSM: shift `fraction` of channels one frame forward and one backward.
+
+    x: [T, H, W, C] (single video).
+    """
+    if fraction <= 0:
+        return x
+    c = x.shape[-1]
+    n_shift = int(c * fraction)
+    fwd = jnp.concatenate(
+        [jnp.zeros_like(x[:1, ..., :n_shift]), x[:-1, ..., :n_shift]], axis=0
+    )
+    bwd = jnp.concatenate(
+        [x[1:, ..., n_shift : 2 * n_shift],
+         jnp.zeros_like(x[:1, ..., n_shift : 2 * n_shift])],
+        axis=0,
+    )
+    rest = x[..., 2 * n_shift :]
+    return jnp.concatenate([fwd, bwd, rest], axis=-1)
+
+
+class TSMBottleneckV2(nn.Module):
+    """Pre-activation bottleneck block with optional temporal shift."""
+
+    output_channels: int
+    stride: int = 1
+    use_projection: bool = False
+    shift_fraction: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [T, H, W, C]
+        bottleneck = self.output_channels // 4
+        preact = InferenceBatchNorm(x.shape[-1], name="bn_pre")(x)
+        preact = nn.relu(preact)
+
+        shortcut = x
+        if self.use_projection:
+            shortcut = nn.Conv(self.output_channels, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="shortcut_conv",
+                               dtype=self.dtype)(preact)
+
+        y = temporal_shift(preact, self.shift_fraction)
+        y = nn.Conv(bottleneck, (1, 1), use_bias=False, name="conv_0",
+                    dtype=self.dtype)(y)
+        y = nn.relu(InferenceBatchNorm(bottleneck, name="bn_0")(y))
+        y = nn.Conv(bottleneck, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, name="conv_1",
+                    dtype=self.dtype)(y)
+        y = nn.relu(InferenceBatchNorm(bottleneck, name="bn_1")(y))
+        y = nn.Conv(self.output_channels, (1, 1), use_bias=False,
+                    name="conv_2", dtype=self.dtype)(y)
+        return y + shortcut
+
+
+class TSMResNetV2(nn.Module):
+    """[T, H, W, 3] -> unit-2 feature grid [T, H/8, W/8, 1024]."""
+
+    blocks_per_unit: Sequence[int] = (3, 4, 6)
+    channels_per_unit: Sequence[int] = (256, 512, 1024)
+    strides_per_unit: Sequence[int] = (1, 2, 1)  # output stride 8 overall
+    shift_fractions: Sequence[float] = (0.125, 0.125, 0.0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    use_bias=False, name="initial_conv", dtype=self.dtype)(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for ui, (nb, ch, st, sf) in enumerate(
+            zip(self.blocks_per_unit, self.channels_per_unit,
+                self.strides_per_unit, self.shift_fractions)
+        ):
+            for bi in range(nb):
+                x = TSMBottleneckV2(
+                    output_channels=ch,
+                    stride=st if bi == 0 else 1,
+                    use_projection=(bi == 0),
+                    shift_fraction=sf,
+                    name=f"unit{ui}_block{bi}",
+                    dtype=self.dtype,
+                )(x)
+        return x
+
+
+class TAPNet(nn.Module):
+    num_heads: int = 1
+    softmax_temperature: float = 10.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.tsm_resnet = TSMResNetV2(dtype=self.dtype)
+        self.cost_conv1 = nn.Conv(16, (3, 3), padding="SAME",
+                                  name="cost_volume_regression_1",
+                                  dtype=self.dtype)
+        self.cost_conv2 = nn.Conv(1, (3, 3), padding="SAME",
+                                  name="cost_volume_regression_2",
+                                  dtype=self.dtype)
+        self.occ_conv1 = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                                 name="cost_volume_occlusion_1",
+                                 dtype=self.dtype)
+        self.occ_linear1 = nn.Dense(16, name="cost_volume_occlusion_2",
+                                    dtype=self.dtype)
+        self.occ_out = nn.Dense(1, name="occlusion_out", dtype=self.dtype)
+
+    def get_feature_grid(self, video: jnp.ndarray) -> jnp.ndarray:
+        """video [T, 256, 256, 3] in [-1, 1] -> [T, 32, 32, 1024] normalized."""
+        return l2_normalize(self.tsm_resnet(video.astype(self.dtype)))
+
+    def __call__(self, video: jnp.ndarray, query_points: jnp.ndarray):
+        """query_points [N, 3] (t, y, x) raster(256).
+
+        Returns dict(tracks [N, T, 2] xy raster, occlusion [N, T]).
+        """
+        grid = self.get_feature_grid(video)
+        t, gh, gw, c = grid.shape
+        n = query_points.shape[0]
+
+        t_idx = jnp.round(query_points[:, 0]).astype(jnp.int32)
+        gy = (query_points[:, 1] + 0.5) * (gh / TRAIN_SIZE[0]) - 0.5
+        gx = (query_points[:, 2] + 0.5) * (gw / TRAIN_SIZE[1]) - 0.5
+        q_feats = jax.vmap(
+            lambda fr, x, y: bilinear_sample(fr, x, y, pad_mode="clamp")
+        )(grid[t_idx], gx, gy)  # [N, C]
+
+        d = self.num_heads
+        grid_heads = grid.reshape(t, gh, gw, c // d, d)
+        q_heads = q_feats.reshape(n, c // d, d)
+
+        cost = jnp.einsum("ncd,thwcd->tnhwd", q_heads, grid_heads)
+        cost = cost.reshape(t * n, gh, gw, d)
+
+        hid = nn.relu(self.cost_conv1(cost))
+        pos = self.cost_conv2(hid)[..., 0].reshape(t, n, gh, gw)
+        pos = pos.transpose(1, 0, 2, 3)
+        softmaxed = jax.nn.softmax(
+            (pos * self.softmax_temperature).reshape(n, t, -1), axis=-1
+        ).reshape(n, t, gh, gw)
+        pts_grid = jax.vmap(jax.vmap(soft_argmax_heatmap))(softmaxed)
+        points = convert_coords(pts_grid, (gw, gh),
+                                (TRAIN_SIZE[1], TRAIN_SIZE[0]))
+
+        occ = self.occ_conv1(hid)
+        occ = occ.mean(axis=(1, 2))
+        occ = nn.relu(self.occ_linear1(occ))
+        occ = self.occ_out(occ).reshape(t, n).T  # [N, T]
+
+        # pin the query frame to the query point
+        onehot = jax.nn.one_hot(t_idx, t)
+        q_xy = query_points[:, jnp.array([2, 1])]
+        points = (
+            points * (1 - onehot)[..., None]
+            + q_xy[:, None, :] * onehot[..., None]
+        )
+        return {"tracks": points, "occlusion": occ}

@@ -1,0 +1,103 @@
+"""TapNet point tracker wrapper.
+
+Reference semantics (sam_pt/point_tracker/tapnet/tracker.py): resize to
+256x256, (t, x, y) -> scaled (t, y, x), query chunking (:52, size 16),
+visibility = sigmoid(occlusion) < 0.5 i.e. occlusion logit < 0 (threshold
+0.5, :38-103), rescale back.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import PointTracker
+from .model import TAPNet, TRAIN_SIZE
+from ....ops.resize import resize_bilinear
+
+
+class TapNetPointTracker(PointTracker):
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        visibility_threshold: float = 0.5,
+        query_chunk_size: int = 16,
+        dtype=jnp.float32,
+        params=None,
+        allow_random_init: bool = False,
+    ):
+        self.visibility_threshold = visibility_threshold
+        self.query_chunk_size = query_chunk_size
+        self.model = TAPNet(dtype=dtype)
+
+        if params is None and checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                from ....utils.checkpoint import load_haiku_npy
+
+                # TapNet conversion shares the haiku loader; mapping follows
+                # the TAPIR pattern (see convert_tapir_haiku_params).
+                params = None
+                raise NotImplementedError(
+                    "TapNet haiku checkpoint mapping lands with the "
+                    "checkpoint-validation milestone"
+                )
+            elif not allow_random_init:
+                raise FileNotFoundError(
+                    f"TapNet checkpoint not found: {checkpoint_path}"
+                )
+        self.params = params
+
+        self._forward_jit = jax.jit(
+            lambda p, video, qp: self.model.apply(p, video, qp)
+        )
+
+    def init_params(self, key, t: int = 2, n_points: int = 4):
+        video = jnp.zeros((t, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))
+        qp = jnp.zeros((n_points, 3))
+        self.params = self.model.init(key, video, qp)
+        return self.params
+
+    def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
+        assert rgbs.shape[0] == 1, "TapNet runs per-video"
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+        video = np.asarray(rgbs, np.float32)[0]
+        qp = np.asarray(query_points, np.float32)[0]
+        t, h, w, _ = video.shape
+        n = qp.shape[0]
+
+        frames = np.asarray(resize_bilinear(jnp.asarray(video), TRAIN_SIZE))
+        frames = frames / 255.0 * 2.0 - 1.0
+
+        q_tyx = np.stack(
+            [
+                qp[:, 0],
+                qp[:, 2] * (TRAIN_SIZE[0] / h),
+                qp[:, 1] * (TRAIN_SIZE[1] / w),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+        frames_dev = jnp.asarray(frames)
+        cs = min(self.query_chunk_size, n)
+        tracks = np.zeros((n, t, 2), np.float32)
+        occ = np.zeros((n, t), np.float32)
+        for i in range(0, n, cs):
+            chunk = q_tyx[i : i + cs]
+            pad = cs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            out = self._forward_jit(self.params, frames_dev, jnp.asarray(chunk))
+            nb = cs - pad
+            tracks[i : i + nb] = np.asarray(out["tracks"])[:nb]
+            occ[i : i + nb] = np.asarray(out["occlusion"])[:nb]
+
+        visibles = 1.0 / (1.0 + np.exp(-occ)) < self.visibility_threshold
+
+        tracks[..., 0] *= w / TRAIN_SIZE[1]
+        tracks[..., 1] *= h / TRAIN_SIZE[0]
+        return tracks.transpose(1, 0, 2)[None], visibles.T.astype(np.float32)[None]
