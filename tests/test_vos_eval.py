@@ -169,3 +169,31 @@ class TestEndToEndEval:
             davis_path=str(davis_root / "trainval"),
         ).evaluate()
         np.testing.assert_allclose(df_global["J&F-Mean"].iloc[0], 1.0)
+
+
+class TestBDD100K:
+    def test_perfect_prediction_and_first_appearance(self, tmp_path):
+        from sam_pt_tpu.vos_eval.bdd100keval import BDD100KEvaluator
+
+        h, w, t = 48, 64, 5
+        ann = tmp_path / "data" / "Annotations" / "seq0"
+        res = tmp_path / "results" / "seq0"
+        os.makedirs(ann)
+        os.makedirs(res)
+        rng = np.random.default_rng(0)
+        for ti in range(t):
+            mask = np.zeros((h, w), np.uint8)
+            mask[10:30, 10:30] = 1           # object 1 visible from frame 0
+            if ti >= 2:
+                mask[35:45, 40:60] = 2       # object 2 appears at frame 2
+            im = Image.fromarray(mask, mode="P")
+            im.putpalette(DAVIS_PALETTE)
+            im.save(ann / f"{ti:07d}.png")
+            im.save(res / f"{ti:07d}.png")   # result == GT
+        df_global, df_per_seq = BDD100KEvaluator(
+            results_path=str(tmp_path / "results"),
+            dataset_path=str(tmp_path / "data"),
+            use_process_pool=False,
+        ).evaluate()
+        np.testing.assert_allclose(df_global["J&F-Mean"].iloc[0], 1.0)
+        assert len(df_per_seq) == 2  # two objects
