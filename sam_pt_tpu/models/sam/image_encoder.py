@@ -126,7 +126,6 @@ class Attention(nn.Module):
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.num_heads, h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = (q * scale) @ jnp.swapaxes(k, -2, -1)
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
@@ -134,12 +133,34 @@ class Attention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
             )
-            attn = _add_decomposed_rel_pos(
-                attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w)
-            )
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = attn @ v
+        # Large global blocks (e.g. the 4096-token SAM grid) go through the
+        # fused Pallas kernel: logits stay in VMEM and the rel-pos bias is
+        # consumed in factored form — no [N, N] HBM materialization.
+        use_fused = self.use_rel_pos and h * w >= 1024
+        if use_fused:
+            from ...ops.flash_attention import fused_relpos_attention
+
+            rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, head_dim]
+            rw = _rel_pos_table(rel_pos_w, w, w)
+            rq = q.reshape(-1, h, w, head_dim)
+            bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh.astype(q.dtype))
+            bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw.astype(q.dtype))
+            out = fused_relpos_attention(
+                q, k, v,
+                bias_h.reshape(-1, h * w, h),
+                bias_w.reshape(-1, h * w, w),
+                scale=scale,
+            )
+        else:
+            attn = (q * scale) @ jnp.swapaxes(k, -2, -1)
+            if self.use_rel_pos:
+                attn = _add_decomposed_rel_pos(
+                    attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w)
+                )
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = attn @ v
+
         out = out.reshape(b, self.num_heads, h * w, head_dim)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, h, w, c)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)

@@ -1,0 +1,131 @@
+"""Fused attention Pallas kernel for the SAM ViT encoder's global blocks.
+
+The naive global attention at 64x64 tokens materializes [B*heads, 4096, 4096]
+logit/probability tensors in HBM — gigabytes of traffic per frame and the
+dominant cost of SAM encoding. This kernel keeps each attention row block
+resident in VMEM: K and V for the full 4096-token sequence fit on-chip
+(~1 MB each at head_dim 128 bf16), each grid step computes an entire
+[TQ, N] logits block on the MXU, softmaxes in f32 on the VPU, and multiplies
+by V — logits never touch HBM.
+
+Decomposed relative-position bias trick: with bias(i, j) =
+Bh[i, y_j] + Bw[i, x_j] (the factored per-query projections onto the rel-pos
+tables), augmenting
+
+    q_aug = [q * scale, Bh, Bw]            # [B, N, D + Kh + Kw]
+    k_aug = [k, onehot(y), onehot(x)]      # [B, N, D + Kh + Kw]
+
+makes `q_aug @ k_aug^T` equal `scale * q k^T + bias` in ONE matmul — the
+bias costs 128 extra contraction lanes instead of any gather/reshape.
+
+Falls back to interpret mode off-TPU (tests run on CPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]  # [TQ, Da]  (augmented)
+    k = k_ref[0]  # [N, Da]
+    v = v_ref[0]  # [N, Dp]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, N]
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _pad_last(x, target):
+    d = x.shape[-1]
+    if d == target:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, target - d)])
+
+
+def fused_relpos_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias_h: jnp.ndarray,
+    bias_w: jnp.ndarray,
+    *,
+    scale: float,
+    q_tile: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Attention with factored rel-pos bias, logits kept in VMEM.
+
+    q, k, v: [B, N, D] (B = batch*heads; N = Kh*Kw tokens, row-major).
+    bias_h: [B, N, Kh]; bias_w: [B, N, Kw] with
+        bias(i, j) = bias_h[i, y_j] + bias_w[i, x_j], j = y_j * Kw + x_j.
+    Returns [B, N, D].
+    """
+    b, n, d = q.shape
+    kh = bias_h.shape[-1]
+    kw = bias_w.shape[-1]
+    assert kh * kw == n, (kh, kw, n)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    dp = ((d + 127) // 128) * 128
+    dtype = q.dtype
+
+    # one-hot row/column indicators of each key token (constants)
+    ys = np.arange(n) // kw
+    xs = np.arange(n) % kw
+    eh = jnp.asarray(np.eye(kh, dtype=np.float32)[ys], dtype)  # [N, Kh]
+    ew = jnp.asarray(np.eye(kw, dtype=np.float32)[xs], dtype)  # [N, Kw]
+
+    q_aug = jnp.concatenate(
+        [_pad_last(q * scale, dp), bias_h.astype(dtype), bias_w.astype(dtype)],
+        axis=-1,
+    )
+    k_aug = jnp.concatenate(
+        [_pad_last(k, dp),
+         jnp.broadcast_to(eh[None], (b, n, kh)),
+         jnp.broadcast_to(ew[None], (b, n, kw))],
+        axis=-1,
+    )
+    v_p = _pad_last(v, dp)
+    da = q_aug.shape[-1]
+
+    tq = min(q_tile, n)
+    assert n % tq == 0
+
+    out = pl.pallas_call(
+        _attention_kernel,
+        grid=(b, n // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, da), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, da), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, dp), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dp), dtype),
+        interpret=interpret,
+    )(q_aug, k_aug, v_p)
+
+    return out[..., :d]
