@@ -222,6 +222,16 @@ def evaluate(cfg) -> Dict:
 
     results = {"fps": fps, "total_frames": total_frames}
 
+    from ..utils.logging import RunLogger
+
+    logger = RunLogger(
+        output_dir=path.join(cfg["output"], "logs"),
+        exp_id=str(cfg.get("exp_id", "vos-eval")),
+        config={k: v for k, v in cfg.items() if not isinstance(v, dict)},
+    )
+    logger.set_summary(fps=fps, total_frames=total_frames,
+                       total_process_time=total_process_time)
+
     if cfg["dataset"] in ("D16", "D17") and cfg.get("split", "val") == "val" \
             and cfg.get("score", True):
         sequences = "all"
@@ -240,7 +250,9 @@ def evaluate(cfg) -> Dict:
         results["J&F-Mean"] = float(df_global["J&F-Mean"].iloc[0])
         results["df_global"] = df_global
         results["df_per_seq"] = df_per_seq
+        logger.set_summary(score=results["J&F-Mean"])
 
+    logger.finish()
     return results
 
 
