@@ -132,66 +132,110 @@ class PipsPointTracker(PointTracker):
     def _forward_direction(
         self, fmaps: jnp.ndarray, query_points: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Chained-window linking in one temporal direction.
+        """Chained-window linking in one temporal direction — fully on device.
+
+        The entire data-dependent linking loop (reference pips/tracker.py:
+        61-148) runs as ONE jitted `lax.while_loop`: each iteration gathers
+        the current 8-frame feature window, runs the window model for all N
+        points (skipped via `lax.cond` when no point's frontier is at the
+        current frame), scatters results into the trajectory state, and
+        advances each point's frontier with the decaying-visibility inner
+        loop. One host round trip per direction instead of one per frame.
 
         fmaps: [T, H8, W8, C] (device); query_points: [N, 3] (t, x, y) host.
         Returns host (trajectories [T, N, 2], visibilities [T, N] float).
         """
-        t = fmaps.shape[0]
-        n = query_points.shape[0]
+        t = int(fmaps.shape[0])
+        qp = jnp.asarray(query_points, jnp.float32)
+        traj, vis = self._linked_direction_jit(
+            self.params, fmaps, qp, t
+        )
+        return np.asarray(traj), np.asarray(vis)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _linked_direction_jit(self, params, fmaps, query_points, t):
         s = self.s
+        n = query_points.shape[0]
+        latent = self.model.latent_dim
 
-        trajectories = np.zeros((t, n, 2), np.float32)
-        visibilities = np.zeros((t, n), np.float32)
-        start_frames = query_points[:, 0].astype(np.int64)
-        trajectories[start_frames, np.arange(n)] = query_points[:, 1:]
-        visibilities[start_frames, np.arange(n)] = 1.0
+        start_frames = query_points[:, 0].astype(jnp.int32)
+        q_xy = query_points[:, 1:]
 
-        # feat_init: query-frame feature at the query point, per point.
-        feat_init = np.zeros((n, self.model.latent_dim), np.float32)
-        for f in np.unique(start_frames):
-            sel = start_frames == f
-            feats = self._sample(
-                fmaps[int(f)], jnp.asarray(query_points[sel, 1:]), float(self.stride)
+        trajectories = jnp.zeros((t, n, 2), jnp.float32)
+        visibilities = jnp.zeros((t, n), jnp.float32)
+        trajectories = trajectories.at[start_frames, jnp.arange(n)].set(q_xy)
+        visibilities = visibilities.at[start_frames, jnp.arange(n)].set(1.0)
+
+        # feat_init: query-frame feature at the query point, per point
+        grid_xy = q_xy / float(self.stride)
+        q_frames = fmaps[start_frames]  # [N, H8, W8, C]
+        feat_init = jax.vmap(
+            lambda fm, p: bilinear_sample(fm, p[0], p[1], pad_mode="clamp")
+        )(q_frames, grid_xy)  # [N, C]
+
+        def gather_window(cf):
+            idx = jnp.minimum(cf + jnp.arange(s), t - 1)
+            return jnp.take(fmaps, idx, axis=0)
+
+        def body(state):
+            cf, traj, vis, frontier = state
+            active = frontier == cf
+
+            def run(_):
+                coords, vlog, _ = self.model.apply(
+                    params, gather_window(cf), traj[cf], feat_init,
+                    iters=self.iters,
+                )
+                return coords, jax.nn.sigmoid(vlog)
+
+            def skip(_):
+                return (jnp.zeros((s, n, 2), jnp.float32),
+                        jnp.zeros((s, n), jnp.float32))
+
+            coords, wvis = jax.lax.cond(active.any(), run, skip, None)
+
+            n_missing = jnp.maximum(0, cf + s - t)
+            frames = cf + jnp.arange(s)  # [S] absolute frame indices
+            # write window outputs for frames [cf+1, cf+s-n_missing)
+            p = jnp.arange(s)
+            writable = (p >= 1) & (p < s - n_missing) & (frames < t)
+            wmask = writable[:, None] & active[None, :]  # [S, N]
+            safe_frames = jnp.minimum(frames, t - 1)
+            cur_t = traj[safe_frames]
+            cur_v = vis[safe_frames]
+            traj = traj.at[safe_frames].set(
+                jnp.where(wmask[..., None], coords, cur_t)
             )
-            feat_init[sel] = np.asarray(feats)
-        feat_init_dev = jnp.asarray(feat_init)
-
-        current_frames = start_frames.copy()
-        for cf in range(t - 1):
-            active = current_frames == cf
-            if not active.any():
-                continue
-            n_missing = max(0, cf + s - t)
-            fmaps_win = self._gather_window(fmaps, cf)
-            coords, vis = self._window(
-                self.params,
-                fmaps_win,
-                jnp.asarray(trajectories[cf]),  # all N points; inactive masked below
-                feat_init_dev,
-                iters=self.iters,
-            )
-            coords = np.asarray(coords)  # [S, N, 2]
-            vis = np.asarray(vis)  # [S, N]
-
-            out_lo, out_hi = 1, s - n_missing
-            frames = slice(cf + out_lo, cf + out_hi)
-            trajectories[frames, active] = coords[out_lo:out_hi, active]
-            visibilities[frames, active] = vis[out_lo:out_hi, active]
+            vis = vis.at[safe_frames].set(jnp.where(wmask, wvis, cur_v))
 
             # frontier advancement with decaying visibility threshold
-            thresh = np.where(active, self.vis_threshold0, 0.0)
-            earliest = np.where(active, cf + 1, current_frames)
-            last = np.where(active, cf + s - n_missing - 1, current_frames)
-            nxt = last.copy()
-            while (visibilities[nxt, np.arange(n)] <= thresh).any():
-                below = visibilities[nxt, np.arange(n)] <= thresh
-                nxt = np.where(below, nxt - 1, nxt)
-                wrapped = nxt < earliest
-                thresh = np.where(wrapped, thresh - 0.02, thresh)
-                nxt = np.where(wrapped, last, nxt)
-            current_frames = np.where(active, nxt, current_frames)
+            thresh = jnp.where(active, self.vis_threshold0, 0.0)
+            earliest = jnp.where(active, cf + 1, frontier)
+            last = jnp.where(active, cf + s - n_missing - 1, frontier)
 
+            def adv_cond(st):
+                nxt, th = st
+                return (vis[nxt, jnp.arange(n)] <= th).any()
+
+            def adv_body(st):
+                nxt, th = st
+                below = vis[nxt, jnp.arange(n)] <= th
+                nxt = jnp.where(below, nxt - 1, nxt)
+                wrapped = nxt < earliest
+                th = jnp.where(wrapped, th - 0.02, th)
+                nxt = jnp.where(wrapped, last, nxt)
+                return nxt, th
+
+            nxt, _ = jax.lax.while_loop(adv_cond, adv_body, (last, thresh))
+            frontier = jnp.where(active, nxt, frontier)
+            return cf + 1, traj, vis, frontier
+
+        def cond(state):
+            return state[0] < t - 1
+
+        _, trajectories, visibilities, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), trajectories, visibilities, start_frames)
+        )
         return trajectories, visibilities
 
     def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
