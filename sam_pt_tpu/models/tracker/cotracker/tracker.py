@@ -14,6 +14,7 @@ carry between windows is the standard half-window overlap hand-off.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -131,66 +132,75 @@ class CoTrackerPointTracker(PointTracker):
     def _track(self, rgbs: np.ndarray, queries: np.ndarray):
         """rgbs [T, h, w, 3] (interp_shape); queries [N, 3] (t, x, y).
 
+        The whole sliding-window chain runs as ONE jitted `lax.scan` over the
+        (static) window starts — one host round trip per direction instead of
+        one per window.
+
         Returns (traj [T, N, 2] float zeros before query frame,
                  vis [T, N] sigmoid scores).
         """
-        t, h, w, _ = rgbs.shape
+        t = rgbs.shape[0]
+        fmaps = self._encode_video(rgbs)
+        traj, vis = self._track_jit(self.params, fmaps, jnp.asarray(queries), t)
+        return np.asarray(traj), np.asarray(vis)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _track_jit(self, params, fmaps, queries, t):
         s = self.s
         n = queries.shape[0]
 
-        fmaps = self._encode_video(rgbs)
-
-        q_t = queries[:, 0].astype(np.int64)
+        q_t = queries[:, 0].astype(jnp.int32)
         q_xy_grid = queries[:, 1:] / self.stride
 
-        # per-point features from their query frames
-        feats = np.zeros((n, self.model.latent_dim), np.float32)
-        for f in np.unique(q_t):
-            sel = q_t == f
-            feats[sel] = np.asarray(
-                self._sample(fmaps[int(f)], jnp.asarray(q_xy_grid[sel]))
-            )
-        feats_dev = jnp.asarray(feats)
+        feats = jax.vmap(
+            lambda fm, p: bilinear_sample(fm, p[0], p[1], pad_mode="clamp")
+        )(fmaps[q_t], q_xy_grid)  # [N, C]
 
-        track_mask = (np.arange(t)[:, None] >= q_t[None, :]).astype(np.float32)
+        track_mask = (
+            jnp.arange(t)[:, None] >= q_t[None, :]
+        ).astype(jnp.float32)
 
         starts = list(range(0, max(t - s, 0) + 1, s // 2))
         if starts[-1] != max(t - s, 0):
             starts.append(max(t - s, 0))
+        starts = jnp.asarray(starts, jnp.int32)
 
-        traj = np.zeros((t, n, 2), np.float32)
-        vis = np.zeros((t, n), np.float32)
-        carried = np.broadcast_to(q_xy_grid[None], (s, n, 2)).copy()
+        traj0 = jnp.zeros((t, n, 2), jnp.float32)
+        vis0 = jnp.zeros((t, n), jnp.float32)
+        carried0 = jnp.broadcast_to(q_xy_grid[None], (s, n, 2))
 
-        for ind in starts:
-            frames = np.minimum(np.arange(ind, ind + s), t - 1)
+        def step(state, ind):
+            traj, vis, carried = state
+            raw = ind + jnp.arange(s)
+            frames = jnp.minimum(raw, t - 1)
+            writable = (raw < t)[:, None]  # clamped duplicates must not write
             tm = track_mask[frames]
-            # pin frames at-or-before each point's query time to its query loc
-            tg = frames[:, None]
-            coords_init = np.where(
-                (tg <= q_t[None, :])[..., None], q_xy_grid[None], carried
+            coords_init = jnp.where(
+                (frames[:, None] <= q_t[None, :])[..., None],
+                q_xy_grid[None],
+                carried,
             )
-            coords_w, vis_w, _ = self._window(
-                self.params,
-                fmaps[jnp.asarray(frames)],
-                jnp.asarray(coords_init),
-                feats_dev,
-                jnp.asarray(tm),
+            coords_w, vis_w, _ = self.model.apply(
+                params, fmaps[frames], coords_init, feats, tm,
                 iters=self.iters,
             )
-            coords_w = np.asarray(coords_w)
-            vis_w = np.asarray(vis_w)
-
-            real = frames < t  # all true given clamping; keep for clarity
-            traj[frames] = coords_w * self.stride
-            vis[frames] = 1.0 / (1.0 + np.exp(-vis_w))
-
-            carried = np.concatenate(
-                [coords_w[s // 2 :], np.repeat(coords_w[-1:], s // 2, 0)], 0
+            traj = traj.at[frames].set(
+                jnp.where(writable[..., None], coords_w * self.stride,
+                          traj[frames])
             )
+            vis = vis.at[frames].set(
+                jnp.where(writable, jax.nn.sigmoid(vis_w), vis[frames])
+            )
+            carried = jnp.concatenate(
+                [coords_w[s // 2 :],
+                 jnp.repeat(coords_w[-1:], s // 2, axis=0)], axis=0
+            )
+            return (traj, vis, carried), None
 
-        traj *= track_mask[..., None]
-        vis *= track_mask
+        (traj, vis, _), _ = jax.lax.scan(step, (traj0, vis0, carried0), starts)
+
+        traj = traj * track_mask[..., None]
+        vis = vis * track_mask
         return traj, vis
 
     def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
