@@ -81,8 +81,8 @@ class AttentionalPropagation(nn.Module):
         msg = MultiHeadAttention(self.num_heads, self.dim, name="attn",
                                  dtype=self.dtype)(x, source, source_valid)
         y = jnp.concatenate([x, msg], axis=-1)
+        # magicleap MLP([2d, 2d, d]): conv(2d->2d)+BN+ReLU, conv(2d->d)
         y = BNDense(2 * self.dim, name="mlp_0", dtype=self.dtype)(y)
-        y = BNDense(2 * self.dim, name="mlp_1", dtype=self.dtype)(y)
         y = nn.Dense(self.dim, name="mlp_out", dtype=self.dtype)(y)
         return x + y
 

@@ -31,6 +31,7 @@ class SuperGluePointTracker(PointTracker):
     def __init__(
         self,
         checkpoint_path: Optional[str] = None,
+        superpoint_checkpoint_path: Optional[str] = None,
         positive_points_per_mask: int = 8,
         negative_points_per_mask: int = 1,
         max_keypoints: int = 1024,
@@ -63,11 +64,20 @@ class SuperGluePointTracker(PointTracker):
         if params is None and checkpoint_path is not None:
             import os
 
-            if not os.path.exists(str(checkpoint_path)):
-                if not allow_random_init:
-                    raise FileNotFoundError(
-                        f"SuperGlue checkpoint not found: {checkpoint_path}"
-                    )
+            if os.path.exists(str(checkpoint_path)) and (
+                superpoint_checkpoint_path
+                and os.path.exists(str(superpoint_checkpoint_path))
+            ):
+                from ....utils.checkpoint import load_superglue_checkpoint
+
+                params = load_superglue_checkpoint(
+                    superpoint_checkpoint_path, checkpoint_path
+                )
+            elif not allow_random_init:
+                raise FileNotFoundError(
+                    f"SuperGlue checkpoints not found: {checkpoint_path} / "
+                    f"{superpoint_checkpoint_path}"
+                )
         self.params = params  # {'superpoint': ..., 'superglue': ...}
 
         self._detect = jax.jit(

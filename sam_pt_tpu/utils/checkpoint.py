@@ -742,3 +742,79 @@ def load_tapir_checkpoint(path: str, template=None):
     hk_params = load_haiku_npy(path)
     params = convert_tapir_haiku_params(hk_params)
     return params
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint / SuperGlue conversion
+# ---------------------------------------------------------------------------
+
+def convert_superpoint_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """magicleap superpoint_v1.pth -> flax params tree (names match 1:1)."""
+    p: Dict[str, Any] = {}
+    for name in ("conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+                 "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb"):
+        p[name] = {
+            "kernel": conv_w(sd[f"{name}.weight"]),
+            "bias": _t(sd[f"{name}.bias"]),
+        }
+    return {"params": p}
+
+
+def convert_superglue_state_dict(sd: Dict[str, Any],
+                                 gnn_layers: int = 9) -> Dict[str, Any]:
+    """magicleap superglue_{indoor,outdoor}.pth -> flax params tree.
+
+    Namespaces: kenc.encoder.{0,3,6,9} convs + {1,4,7} BNs;
+    gnn.layers.{i} alternating self/cross AttentionalPropagation with
+    attn.proj.{0,1,2}=q/k/v, attn.merge, mlp.{0,1,3}; final_proj; bin_score.
+    """
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    def bn(src, dst):
+        put(f"{dst}/scale", _t(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+        put(f"{dst}/mean", _t(sd[f"{src}.running_mean"]))
+        put(f"{dst}/var", _t(sd[f"{src}.running_var"]))
+
+    def c1d(src, dst):
+        put(f"{dst}/kernel", conv1d_w(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
+
+    # keypoint encoder: MLP([3, 32, 64, 128, 256])
+    for li, conv_idx in enumerate((0, 3, 6)):
+        c1d(f"kenc.encoder.{conv_idx}", f"kenc/layer_{li}/lin")
+        bn(f"kenc.encoder.{conv_idx + 1}", f"kenc/layer_{li}/bn")
+    c1d("kenc.encoder.9", "kenc/out")
+
+    def attn_prop(src, dst):
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            c1d(f"{src}.attn.proj.{i}", f"{dst}/attn/{name}")
+        c1d(f"{src}.attn.merge", f"{dst}/attn/merge")
+        c1d(f"{src}.mlp.0", f"{dst}/mlp_0/lin")
+        bn(f"{src}.mlp.1", f"{dst}/mlp_0/bn")
+        c1d(f"{src}.mlp.3", f"{dst}/mlp_out")
+
+    for i in range(gnn_layers):
+        attn_prop(f"gnn.layers.{2 * i}", f"self_{i}")
+        attn_prop(f"gnn.layers.{2 * i + 1}", f"cross_{i}")
+
+    c1d("final_proj", "final_proj")
+    put("bin_score", _t(sd["bin_score"]))
+    return {"params": p}
+
+
+def load_superglue_checkpoint(superpoint_path: str, superglue_path: str,
+                              templates=None):
+    sp = convert_superpoint_state_dict(load_torch_state_dict(superpoint_path))
+    sg = convert_superglue_state_dict(load_torch_state_dict(superglue_path))
+    if templates is not None:
+        validate_against_template(sp, templates[0])
+        validate_against_template(sg, templates[1])
+    return {"superpoint": sp, "superglue": sg}

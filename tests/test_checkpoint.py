@@ -253,3 +253,85 @@ class TestPipsConversion:
 
         converted = convert_pips_state_dict(sd)
         validate_against_template(converted, template)
+
+
+class TestSuperGlueConversion:
+    def test_structural_completeness(self):
+        """Fabricated magicleap-style dicts convert to exactly the flax tree."""
+        import jax
+        import jax.numpy as jnp
+        from sam_pt_tpu.models.tracker.superglue.superglue import SuperGlue
+        from sam_pt_tpu.models.tracker.superglue.superpoint import SuperPoint
+        from sam_pt_tpu.utils.checkpoint import (
+            convert_superglue_state_dict,
+            convert_superpoint_state_dict,
+        )
+
+        rng = np.random.default_rng(0)
+
+        def add(sd, k, *shape):
+            sd[k] = torch.from_numpy(
+                rng.standard_normal(shape).astype(np.float32))
+
+        # --- SuperPoint
+        sd = {}
+        chans = {"conv1a": (64, 1), "conv1b": (64, 64), "conv2a": (64, 64),
+                 "conv2b": (64, 64), "conv3a": (128, 64), "conv3b": (128, 128),
+                 "conv4a": (128, 128), "conv4b": (128, 128),
+                 "convPa": (256, 128), "convPb": (65, 256),
+                 "convDa": (256, 128), "convDb": (256, 256)}
+        for name, (o, i) in chans.items():
+            k = 1 if name in ("convPb", "convDb") else 3
+            add(sd, f"{name}.weight", o, i, k, k)
+            add(sd, f"{name}.bias", o)
+        sp_params = convert_superpoint_state_dict(sd)
+
+        model = SuperPoint(max_keypoints=8)
+        tmpl = model.init(jax.random.PRNGKey(0), jnp.zeros((32, 32)))
+        from sam_pt_tpu.utils.checkpoint import validate_against_template
+
+        # SuperPoint first conv takes 1-channel input; template matches since
+        # the model consumes [H, W] grayscale -> [H, W, 1]
+        validate_against_template(sp_params, tmpl)
+
+        # --- SuperGlue
+        sd = {}
+        dims = [(3, 32), (32, 64), (64, 128)]
+        for li, (i, o) in enumerate(dims):
+            idx = li * 3
+            add(sd, f"kenc.encoder.{idx}.weight", o, i, 1)
+            add(sd, f"kenc.encoder.{idx}.bias", o)
+            for stat in ("weight", "bias", "running_mean", "running_var"):
+                add(sd, f"kenc.encoder.{idx + 1}.{stat}", o)
+        add(sd, "kenc.encoder.9.weight", 256, 128, 1)
+        add(sd, "kenc.encoder.9.bias", 256)
+        for li in range(2 * 2):  # 2 gnn layer pairs
+            base = f"gnn.layers.{li}"
+            for pi in range(3):
+                add(sd, f"{base}.attn.proj.{pi}.weight", 256, 256, 1)
+                add(sd, f"{base}.attn.proj.{pi}.bias", 256)
+            add(sd, f"{base}.attn.merge.weight", 256, 256, 1)
+            add(sd, f"{base}.attn.merge.bias", 256)
+            add(sd, f"{base}.mlp.0.weight", 512, 512, 1)
+            add(sd, f"{base}.mlp.0.bias", 512)
+            for stat in ("weight", "bias", "running_mean", "running_var"):
+                add(sd, f"{base}.mlp.1.{stat}", 512)
+            add(sd, f"{base}.mlp.3.weight", 256, 512, 1)
+            add(sd, f"{base}.mlp.3.bias", 256)
+        add(sd, "final_proj.weight", 256, 256, 1)
+        add(sd, "final_proj.bias", 256)
+        add(sd, "bin_score", )
+        sg_params = convert_superglue_state_dict(sd, gnn_layers=2)
+
+        model = SuperGlue(gnn_layers=2, sinkhorn_iterations=5)
+        k = 8
+        data = {
+            "keypoints0": jnp.zeros((k, 2)), "keypoints1": jnp.zeros((k, 2)),
+            "scores0": jnp.zeros((k,)), "scores1": jnp.zeros((k,)),
+            "valid0": jnp.ones((k,), bool), "valid1": jnp.ones((k,), bool),
+            "descriptors0": jnp.zeros((k, 256)),
+            "descriptors1": jnp.zeros((k, 256)),
+            "image_shape": (32, 32),
+        }
+        tmpl = model.init(jax.random.PRNGKey(0), data)
+        validate_against_template(sg_params, tmpl)
