@@ -239,31 +239,48 @@ def _locate(target: str) -> Callable:
     return getattr(module, attr)
 
 
-def instantiate(cfg: Any, /, **kwargs: Any) -> Any:
+def instantiate(cfg: Any, /, _memo: Optional[dict] = None, **kwargs: Any) -> Any:
     """Recursively construct objects from `_target_` nodes (Hydra semantics).
 
     Nodes may set `_partial_: true` to get a functools.partial instead of a
-    call, or `_args_` for positional arguments.
+    call, or `_args_` for positional arguments. Nodes carrying the same
+    `_shared_: <key>` marker are instantiated ONCE per top-level call and the
+    instance is reused (e.g. one SAM predictor shared between the VIS
+    auto-mask generator and the tracker orchestrator — the reference shares
+    the SAM model the same way, configs/vis_eval_sam_pt.yaml:9-10).
     """
     import functools
 
+    if _memo is None:
+        _memo = {}
     if isinstance(cfg, list):
-        return [instantiate(v) for v in cfg]
+        return [instantiate(v, _memo=_memo) for v in cfg]
     if not isinstance(cfg, dict):
         return cfg
     if "_target_" not in cfg:
-        return {k: instantiate(v) for k, v in cfg.items()}
+        return {k: instantiate(v, _memo=_memo) for k, v in cfg.items()}
 
     cfg = dict(cfg)
+    shared_key = cfg.pop("_shared_", None)
+    if shared_key is not None and shared_key in _memo:
+        return _memo[shared_key]
     target = cfg.pop("_target_")
     partial = cfg.pop("_partial_", False)
-    args = [instantiate(a) for a in cfg.pop("_args_", [])]
-    kw = {k: instantiate(v) for k, v in cfg.items() if not k.startswith("_")}
+    args = [instantiate(a, _memo=_memo) for a in cfg.pop("_args_", [])]
+    kw = {
+        k: instantiate(v, _memo=_memo)
+        for k, v in cfg.items()
+        if not k.startswith("_")
+    }
     kw.update(kwargs)
     fn = _locate(target)
     if partial:
-        return functools.partial(fn, *args, **kw)
-    return fn(*args, **kw)
+        obj = functools.partial(fn, *args, **kw)
+    else:
+        obj = fn(*args, **kw)
+    if shared_key is not None:
+        _memo[shared_key] = obj
+    return obj
 
 
 # ---------------------------------------------------------------------------

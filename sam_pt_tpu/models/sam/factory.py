@@ -12,6 +12,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .predictor import SamPredictor
 from .sam_model import Sam
@@ -52,7 +53,14 @@ def build_predictor(
             params = load_native(checkpoint)
         else:
             params = load_sam_checkpoint(checkpoint)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
+        # store parameters in the compute dtype: halves the parameter-read
+        # traffic per forward on the bf16 inference path
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, _DTYPES[dtype])
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else jnp.asarray(a),
+            params,
+        )
     elif allow_random_init:
         warnings.warn(
             f"SAM checkpoint {checkpoint!r} not found — using RANDOM weights"
