@@ -36,15 +36,9 @@ class TapNetPointTracker(PointTracker):
             import os
 
             if os.path.exists(checkpoint_path):
-                from ....utils.checkpoint import load_haiku_npy
+                from ....utils.checkpoint import load_tapnet_checkpoint
 
-                # TapNet conversion shares the haiku loader; mapping follows
-                # the TAPIR pattern (see convert_tapir_haiku_params).
-                params = None
-                raise NotImplementedError(
-                    "TapNet haiku checkpoint mapping lands with the "
-                    "checkpoint-validation milestone"
-                )
+                params = load_tapnet_checkpoint(checkpoint_path)
             elif not allow_random_init:
                 raise FileNotFoundError(
                     f"TapNet checkpoint not found: {checkpoint_path}"

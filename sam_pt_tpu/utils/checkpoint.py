@@ -727,7 +727,7 @@ def _map_tapir_module(parts):
             return f"{base}/norm_{idx}"
         return None
     if parts[0] == "pips_mlp_mixer":
-        return None  # handled by the mixer-specific pass (name layouts differ)
+        return _map_tapir_mixer(parts[1:])
     mapping = {
         "cost_volume_regression_1": "cost_volume_regression_1",
         "cost_volume_regression_2": "cost_volume_regression_2",
@@ -818,3 +818,115 @@ def load_superglue_checkpoint(superpoint_path: str, superglue_path: str,
         validate_against_template(sp, templates[0])
         validate_against_template(sg, templates[1])
     return {"superpoint": sp, "superglue": sg}
+
+
+def _map_tapir_mixer(parts):
+    """Map haiku pips_mlp_mixer submodule paths to our PIPSMLPMixer names.
+
+    Haiku auto-numbering: 'linear' = input projection, 'linear_1' = output
+    head, top-level 'layer_norm' = final norm; per block ('block', 'block_1',
+    ...): 'layer_norm'/'layer_norm_1' = pre-norms, 'mlp1_up'/'mlp1_up_1' =
+    the two depthwise convs (both named mlp1_up in the reference source,
+    tapir_model.py:59-82), 'mlp2_up'/'mlp2_down' = channel mixer.
+    """
+    if not parts:
+        return None
+    head = parts[0]
+    base = "pips_mlp_mixer"
+    if head == "linear":
+        return f"{base}/input_proj"
+    if head == "linear_1":
+        return f"{base}/out_proj"
+    if head == "layer_norm":
+        return f"{base}/out_norm"
+    if head.startswith("block"):
+        idx = 0 if head == "block" else int(head.split("_")[-1])
+        sub = parts[1] if len(parts) > 1 else ""
+        mapping = {
+            "layer_norm": "norm1",
+            "layer_norm_1": "norm2",
+            "mlp1_up": "dw1",
+            "mlp1_up_1": "dw2",
+            "mlp2_up": "mlp2_up",
+            "mlp2_down": "mlp2_down",
+        }
+        if sub in mapping:
+            return f"{base}/block_{idx}/{mapping[sub]}"
+    return None
+
+
+def convert_tapnet_haiku_params(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """Haiku TapNet checkpoint -> flax tree (best effort; validated
+    structurally against the model template at load time).
+
+    TapNet checkpoints carry BatchNorm moving averages in the haiku `state`
+    dict ('.../batchnorm/~/mean_ema' etc.) alongside `params`; both are
+    folded into the InferenceBatchNorm parameters here.
+    """
+    hk_params = raw.get("params", raw)
+    hk_state = raw.get("state", {})
+    p: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    import re as _re
+
+    def map_resnet(sub):
+        if "stem" in sub or sub.endswith("initial_conv"):
+            return "tsm_resnet/initial_conv"
+        m = _re.search(r"tsm_resnet_unit_(\d)/.*?block_(\d+)/?(.*)", sub)
+        if not m:
+            return None
+        ui, bi, rest = m.group(1), m.group(2), m.group(3).strip("/")
+        base = f"tsm_resnet/unit{ui}_block{bi}"
+        rest_map = {
+            "conv_0": "conv_0", "conv_1": "conv_1", "conv_2": "conv_2",
+            "shortcut_conv": "shortcut_conv",
+            "batchnorm": "bn_pre", "batchnorm_0": "bn_0", "batchnorm_1": "bn_1",
+        }
+        return f"{base}/{rest_map[rest]}" if rest in rest_map else None
+
+    head_map = {
+        "cost_volume_regression_1": "cost_volume_regression_1",
+        "cost_volume_regression_2": "cost_volume_regression_2",
+        "cost_volume_occlusion_1": "cost_volume_occlusion_1",
+        "cost_volume_occlusion_2": "cost_volume_occlusion_2",
+        "occlusion_out": "occlusion_out",
+    }
+
+    for key, leaf in hk_params.items():
+        sub = key.replace("~/", "").replace("tapnet/", "")
+        mapped = map_resnet(sub) if "tsm_resnet" in sub else head_map.get(
+            sub.split("/")[-1]
+        )
+        if mapped is None:
+            continue
+        for wname, w in leaf.items():
+            out_name = {"w": "kernel", "b": "bias",
+                        "scale": "scale", "offset": "bias"}.get(wname, wname)
+            put(f"{mapped}/{out_name}", np.asarray(w))
+
+    for key, leaf in hk_state.items():
+        sub = key.replace("~/", "").replace("tapnet/", "")
+        mapped = map_resnet(sub.replace("/mean_ema", "").replace("/var_ema", ""))
+        if mapped is None:
+            continue
+        for wname, w in leaf.items():
+            if "mean" in key:
+                put(f"{mapped}/mean", np.asarray(w))
+            elif "var" in key:
+                put(f"{mapped}/var", np.asarray(w))
+    return {"params": p}
+
+
+def load_tapnet_checkpoint(path: str, template=None):
+    raw = np.load(path, allow_pickle=True).item()
+    params = convert_tapnet_haiku_params(raw)
+    if template is not None:
+        validate_against_template(params, template)
+    return params
