@@ -241,12 +241,21 @@ class CoTrackerPointTracker(PointTracker):
                 )
             queries = np.concatenate([qp] + extra, axis=0).astype(np.float32)
 
-        traj_f, vis_f = self._track(video, queries)
+        # encode once; the backward pass reuses the flipped feature maps
+        # (the reference re-encodes the flipped video, tracker.py:155-161)
+        fmaps = self._encode_video(video)
+        traj_f, vis_f = (
+            np.asarray(x) for x in self._track_jit(
+                self.params, fmaps, jnp.asarray(queries), t)
+        )
 
-        # backward pass on the flipped video; fill zeros from it
+        # backward pass on the flipped features; fill zeros from it
         queries_b = queries.copy()
         queries_b[:, 0] = t - queries_b[:, 0] - 1
-        traj_b, vis_b = self._track(video[::-1].copy(), queries_b)
+        traj_b, vis_b = (
+            np.asarray(x) for x in self._track_jit(
+                self.params, fmaps[::-1], jnp.asarray(queries_b), t)
+        )
         traj_b = traj_b[::-1]
         vis_b = vis_b[::-1]
 
