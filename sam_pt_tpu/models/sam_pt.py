@@ -23,6 +23,7 @@ reinitialization (`use_point_reinit`, reference :355-543) is implemented in
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -47,6 +48,28 @@ NEG_INF = -float("inf")
 def _emb_index(embeddings, idx):
     """Index precomputed embeddings (array, or {'emb','interm'} dict for HQ)."""
     return jax.tree_util.tree_map(lambda a: a[idx], embeddings)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _patch_similarities_jit(images, flat_traj, qp, patch_size):
+    """[T, H, W, 3] uint8, [T, N, 2], [N, 3] -> similarities [T, N]."""
+    lab = rgb_to_lab(images)
+    # patches around every point's trajectory position, every frame
+    tp = jax.vmap(lambda im, pts: patch_sample(im, pts, patch_size))(
+        lab, flat_traj
+    )  # [T, N, K*K, 3]
+    # patches around every QUERY point on every frame; select the query frame
+    q_xy = jnp.broadcast_to(qp[None, :, 1:], flat_traj.shape)
+    qp_all = jax.vmap(lambda im, pts: patch_sample(im, pts, patch_size))(
+        lab, q_xy
+    )  # [T, N, K*K, 3]
+    q_t = qp[:, 0].astype(jnp.int32)
+    q_patches = qp_all[q_t, jnp.arange(qp.shape[0])]  # [N, K*K, 3]
+
+    diff = (tp - q_patches[None]).reshape(*tp.shape[:2], -1)
+    return jnp.exp(
+        -jnp.linalg.norm(diff, axis=-1) / (2 * patch_size ** 2)
+    )
 
 
 class SamPt:
@@ -113,6 +136,9 @@ class SamPt:
             images = images.transpose(0, 2, 3, 1)  # accept NCHW input
         assert images.dtype == np.uint8, "Input images must be uint8 (0-255)"
         t, h, w, _ = images.shape
+        # upload the video ONCE; trackers and the SAM encoder share this copy
+        # (uint8 on device; casting/resizing happen on device)
+        self._images_dev = jnp.asarray(images)
 
         if video.get("query_masks") is not None:
             assert video.get("query_points") is None
@@ -214,9 +240,12 @@ class SamPt:
     # Plain forward
     # ------------------------------------------------------------------
     def _forward(self, images, query_points):
-        trajectories, visibilities = self._track_points(images, query_points)
+        dev = getattr(self, "_images_dev", None)
+        trajectories, visibilities = self._track_points(
+            images, query_points, images_dev=dev
+        )
         _, logits, scores_per_frame = self._apply_sam(
-            images, trajectories, visibilities
+            images, trajectories, visibilities, device_images=dev
         )
         with np.errstate(invalid="ignore"):
             scores = scores_per_frame.mean(axis=0)
@@ -225,19 +254,25 @@ class SamPt:
     # ------------------------------------------------------------------
     # Tracking + filtering
     # ------------------------------------------------------------------
-    def _track_points(self, images, query_points):
+    def _track_points(self, images, query_points, images_dev=None):
         """Run the tracker in mask batches; apply patch filtering + OOB marks.
 
-        Returns (trajectories [T, M, P, 2], visibilities [T, M, P]) float32.
+        `images_dev` is the matching device-resident uint8 copy, if the
+        caller has one (saves the upload). Returns
+        (trajectories [T, M, P, 2], visibilities [T, M, P]) float32.
         """
         t, h, w, _ = images.shape
         m, p, _ = query_points.shape
         bs = self.point_tracker_mask_batch_size
 
+        images_for_tracker = images if images_dev is None else images_dev
+
         trajs, viss = [], []
         for i in range(0, m, bs):
             batch = query_points[i : i + bs].reshape(1, -1, 3)
-            out_t, out_v = self.point_tracker.forward(images[None], batch)
+            out_t, out_v = self.point_tracker.forward(
+                images_for_tracker[None], batch
+            )
             nb = min(bs, m - i)
             trajs.append(out_t[0].reshape(t, nb, p, 2))
             viss.append(out_v[0].reshape(t, nb, p))
@@ -246,7 +281,7 @@ class SamPt:
 
         if self.use_patch_matching_filtering:
             visibilities = self._patch_filter(
-                images, query_points, trajectories, visibilities
+                images_for_tracker, query_points, trajectories, visibilities
             )
 
         # out-of-frame marking (reference :684-690)
@@ -258,30 +293,24 @@ class SamPt:
         return trajectories, visibilities
 
     def _patch_filter(self, images, query_points, trajectories, visibilities):
-        """LAB patch-similarity filtering (reference :597-681), vectorized."""
+        """LAB patch-similarity filtering (reference :597-681).
+
+        The LAB conversion and all patch extractions/similarities run as ONE
+        jitted program over every (frame, point) pair; only the cascade
+        rejection (tiny [T, M*P] bookkeeping) stays on host.
+        """
         t, m, p, _ = trajectories.shape
         flat_traj = trajectories.reshape(t, m * p, 2)
         qp = query_points.reshape(m * p, 3)
 
-        lab = np.asarray(rgb_to_lab(jnp.asarray(images)))  # [T, H, W, 3]
-
-        def patches_at(frame_lab, pts_xy):
-            return np.asarray(
-                patch_sample(jnp.asarray(frame_lab), jnp.asarray(pts_xy), self.patch_size)
-            )  # [N, K*K, 3]
-
-        q_patches = np.zeros((m * p, self.patch_size ** 2, 3), np.float32)
-        for f in np.unique(qp[:, 0].astype(np.int64)):
-            sel = qp[:, 0].astype(np.int64) == f
-            q_patches[sel] = patches_at(lab[f], qp[sel, 1:])
-
-        sims = np.zeros((t, m * p), np.float32)
-        for f in range(t):
-            tp = patches_at(lab[f], flat_traj[f])
-            diff = (tp - q_patches).reshape(m * p, -1)
-            sims[f] = np.exp(
-                -np.linalg.norm(diff, axis=-1) / (2 * self.patch_size ** 2)
+        sims = np.asarray(
+            _patch_similarities_jit(
+                jnp.asarray(images),
+                jnp.asarray(flat_traj),
+                jnp.asarray(qp),
+                self.patch_size,
             )
+        )
         similar = sims > self.patch_similarity_threshold  # [T, M*P]
         vis = visibilities.reshape(t, m * p).copy()
         vis[(vis == 1) & ~similar] = float(PointVisibilityType.PATCH_NON_SIMILAR)
@@ -364,6 +393,7 @@ class SamPt:
         trajectories: np.ndarray,
         visibilities: np.ndarray,
         embeddings: Optional[jnp.ndarray] = None,
+        device_images=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched SAM over all (frame, mask) pairs.
 
@@ -379,7 +409,8 @@ class SamPt:
 
         # 1. Embed all frames once (chunked), unless given.
         if embeddings is None:
-            embeddings = self._encode_all_frames(images)  # [T, g, g, 256]
+            src = images if device_images is None else device_images
+            embeddings = self._encode_all_frames(src)  # [T, g, g, 256]
 
         # 2. Assemble prompts, flatten (T, M) -> B.
         points, labels = self._build_prompts(trajectories, visibilities)
@@ -393,10 +424,12 @@ class SamPt:
 
         # 3. Chunked batched decode with chaining + refinement. The last chunk
         # is padded to the full chunk size so every call shares one compiled
-        # program.
-        g4 = 4 * (predictor.model.image_size // 16)
-        low_res_all = np.zeros((b, 1, g4, g4), np.float32)
+        # program. Low-res logits stay ON DEVICE; each chunk is upscaled and
+        # downloaded as float16 (SAM logits are O(10) with a 0.0 decision
+        # threshold, so fp16's mantissa is far below the mask-boundary noise
+        # floor — and the transfer is half the bytes).
         iou_all = np.zeros((b,), np.float32)
+        logits = np.full((b, h, w), NEG_INF, np.float32)
         chunk = min(self.sam_decode_chunk, b)
         for i in range(0, b, chunk):
             sl = slice(i, min(i + chunk, b))
@@ -408,20 +441,11 @@ class SamPt:
             pts = jnp.asarray(pts_flat[idx])
             lbl = jnp.asarray(lbl_flat[idx])
             low_res, iou = self._decode_pair_chunk(emb, pts, lbl, original_hw)
-            low_res_all[sl] = np.asarray(low_res)[:nb, None]
-            iou_all[sl] = np.asarray(iou)[:nb]
-
-        # 4. Upscale to original resolution (chunked, padded) + gating.
-        logits = np.full((b, h, w), NEG_INF, np.float32)
-        for i in range(0, b, chunk):
-            sl = slice(i, min(i + chunk, b))
-            nb = sl.stop - sl.start
-            idx = np.concatenate([np.arange(sl.start, sl.stop),
-                                  np.full(chunk - nb, sl.start)])
-            up = predictor.upscale_logits(
-                jnp.asarray(low_res_all[idx, 0]), original_hw
+            up = predictor.upscale_logits(low_res, original_hw)
+            logits[sl] = np.asarray(up.astype(jnp.float16))[:nb].astype(
+                np.float32
             )
-            logits[sl] = np.asarray(up)[:nb]
+            iou_all[sl] = np.asarray(iou)[:nb]
 
         passed = has_visible & (iou_all >= self.sam_iou_threshold)
         logits[~passed] = NEG_INF
@@ -433,7 +457,9 @@ class SamPt:
         pred_scores = sums / np.where(counts != 0, counts, 1)
         return pred_scores, logits, scores_per_frame
 
-    def _encode_all_frames(self, images: np.ndarray) -> jnp.ndarray:
+    def _encode_all_frames(self, images) -> jnp.ndarray:
+        """images: [T, H, W, 3] uint8 (numpy or already on device)."""
+        images = jnp.asarray(images)  # no-op if already a device array
         t = images.shape[0]
         chunks = []
         ec = self.sam_encode_chunk
@@ -441,12 +467,16 @@ class SamPt:
             chunk = images[i : i + ec]
             pad = ec - chunk.shape[0]
             if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
             emb = self.sam_predictor.encode_frames(
-                jnp.asarray(chunk), (images.shape[1], images.shape[2])
+                chunk, (images.shape[1], images.shape[2])
             )
-            chunks.append(emb[: ec - pad])
-        return jnp.concatenate(chunks, axis=0)
+            chunks.append(jax.tree_util.tree_map(lambda a: a[: ec - pad], emb))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+        )
 
     def _decode_pair_chunk(self, emb, pts, lbl, original_hw):
         """One chunk of (frame, mask) pairs through the SAM decoder chain.
@@ -581,7 +611,10 @@ class SamPt:
         scores_per_frame = np.full((t, m), np.nan, np.float32)
         logits = np.full((m, t, h, w), np.nan, np.float32)
 
-        embeddings = self._encode_all_frames(images)
+        # one device copy per direction (this path is also called with the
+        # time-flipped video); windows below slice it on device
+        images_dev = jnp.asarray(images)
+        embeddings = self._encode_all_frames(images_dev)
 
         current_qp = query_points.copy()
         start0 = int(query_points[:, 0, 0].min())
@@ -602,7 +635,10 @@ class SamPt:
                 )
                 self.point_tracker.set_masks(q_masks)
 
-            traj_i, vis_i = self._track_points(images[start:end_tracker], qp_i)
+            traj_i, vis_i = self._track_points(
+                images[start:end_tracker], qp_i,
+                images_dev=images_dev[start:end_tracker],
+            )
             traj_i = traj_i[: self.reinit_horizon]
             vis_i = vis_i[: self.reinit_horizon]
 

@@ -203,20 +203,20 @@ class CoTrackerPointTracker(PointTracker):
         vis = vis * track_mask
         return traj, vis
 
-    def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
+    def forward(self, rgbs, query_points: np.ndarray):
         assert rgbs.shape[0] == 1, "CoTracker runs per-video"
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
-        video = np.asarray(rgbs, np.float32)[0]
+        from ..api import as_device_video
+
+        video = as_device_video(rgbs)  # uint8 on device, uploaded once
         qp = np.asarray(query_points, np.float32)[0]
         t, h, w, _ = video.shape
         n_points = qp.shape[0]
 
         ih, iw = self.interp_shape or (h, w)
         if (ih, iw) != (h, w):
-            video = np.asarray(
-                resize_bilinear(jnp.asarray(video), (ih, iw))
-            )
+            video = resize_bilinear(video.astype(jnp.float32), (ih, iw))
             qp = qp.copy()
             qp[:, 1] *= iw / w
             qp[:, 2] *= ih / h
@@ -224,8 +224,8 @@ class CoTrackerPointTracker(PointTracker):
         # pad short videos by repeating the last frame (reference :12-24)
         t_orig = t
         if t < self.s:
-            video = np.concatenate(
-                [video, np.repeat(video[-1:], self.s - t, axis=0)], axis=0
+            video = jnp.concatenate(
+                [video, jnp.repeat(video[-1:], self.s - t, axis=0)], axis=0
             )
             t = self.s
 

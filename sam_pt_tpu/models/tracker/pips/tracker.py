@@ -243,7 +243,9 @@ class PipsPointTracker(PointTracker):
         assert rgbs.shape[0] == 1, "PIPS linking currently runs per-video"
         if self.params is None:  # random-init fallback (no checkpoint)
             self.init_params(jax.random.PRNGKey(0), 64, 64)
-        rgbs = np.asarray(rgbs)[0]
+        from ..api import as_device_video
+
+        rgbs = as_device_video(rgbs)  # uint8 on device, uploaded once
         qp = np.asarray(query_points, np.float32)[0]
         t = rgbs.shape[0]
         n = qp.shape[0]
