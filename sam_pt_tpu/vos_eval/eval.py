@@ -45,8 +45,11 @@ def build_dataset(cfg):
     if dataset == "D17":
         root = path.join(cfg["d17_path"], "trainval" if split == "val" else "test-dev")
         imset = "2017/val.txt" if split == "val" else "2017/test-dev.txt"
-        return DAVISTestDataset(root, imset=imset, size=size,
-                                longest_size=longest_size)
+        return DAVISTestDataset(
+            root, imset=imset, size=size, longest_size=longest_size,
+            return_all_gt_masks=cfg.get(
+                "simulate_interactive_point_correction", False),
+        )
     if dataset == "D16":
         return DAVISTestDataset(
             cfg["d16_path"],
@@ -75,6 +78,31 @@ def build_dataset(cfg):
     raise NotImplementedError(dataset)
 
 
+def one_point_query_masks(model, images, query_masks, gt_ti_list):
+    """SAM masks from a single kmedoid point per object (reference :238-257)."""
+    import jax.numpy as jnp
+
+    from ..utils.query_points import extract_kmedoid_points
+
+    out = []
+    predictor = model.sam_predictor
+    h, w = images.shape[1:3]
+    for mi, (mask, ti) in enumerate(zip(query_masks, gt_ti_list)):
+        pt = extract_kmedoid_points(mask, 1)
+        emb = predictor.encode_frames(
+            jnp.asarray(images[int(ti)][None]), (h, w)
+        )
+        low, iou, _ = predictor.predict(
+            emb, jnp.asarray(pt[None]), jnp.ones((1, 1), jnp.int32), (h, w)
+        )
+        logits = predictor.upscale_logits(low[:, 0], (h, w))
+        m = (np.asarray(logits)[0] > 0).astype(np.float32)
+        print(f"[One GT Point Only] Mask {mi}, t={ti}, "
+              f"IoU {float(iou[0, 0]) * 100:6.2f}")
+        out.append(m)
+    return np.stack(out)
+
+
 def softmax_fuse(logits: np.ndarray) -> np.ndarray:
     """[T, 1+M, H, W] logits (channel 0 = zero background) -> probs."""
     x = logits - logits.max(axis=1, keepdims=True)
@@ -87,7 +115,7 @@ def evaluate(cfg) -> Dict:
 
     meta_dataset = build_dataset(cfg)
     out_path = cfg["output"]
-    if cfg["dataset"].startswith("Y"):
+    if cfg["dataset"].startswith("Y") or cfg.get("save_scores", False):
         out_path = path.join(out_path, "Annotations")
 
     model = instantiate(cfg["model"])
@@ -121,9 +149,11 @@ def evaluate(cfg) -> Dict:
         mapper = MaskMapper()
         rgbs: List[np.ndarray] = []
         infos: List[dict] = []
+        all_gt_masks: List[np.ndarray] = []  # per-frame onehot (interactive)
         gt_ti_list: List[int] = []
         gt_mask_list: List[np.ndarray] = []
         gt_labels_list: List[int] = []
+        interactive = cfg.get("simulate_interactive_point_correction", False)
 
         for ti, data in enumerate(vid_reader):
             if max_frames is not None and ti >= max_frames:
@@ -131,6 +161,10 @@ def evaluate(cfg) -> Dict:
             rgb = data["rgb"]
             msk = data.get("mask")
             info = data["info"]
+
+            if cfg.get("flip", False):  # horizontal-flip evaluation
+                rgb = rgb[:, ::-1].copy()
+                msk = msk[:, ::-1].copy() if msk is not None else None
 
             if cfg["dataset"] == "BDD100K" and msk is not None:
                 seen = np.isin(msk, mapper.labels)
@@ -140,9 +174,13 @@ def evaluate(cfg) -> Dict:
                     msk = None
 
             if msk is not None:
-                onehot, new_mapped = mapper.convert_mask(msk)
+                onehot, new_mapped = mapper.convert_mask(
+                    msk, old_labels_allowed=interactive
+                )
                 if info["need_resize"]:
                     onehot = vid_reader.resize_mask(onehot)
+                if interactive:
+                    all_gt_masks.append(onehot)
                 inv = {v: k for k, v in mapper.remappings.items()}
                 for l_remapped in new_mapped:
                     l_original = inv[l_remapped]
@@ -167,6 +205,13 @@ def evaluate(cfg) -> Dict:
         query_ts = np.asarray(gt_ti_list, np.float32)
         n_masks = query_masks.shape[0]
 
+        if cfg.get("input_only_one_gt_mask_point", False):
+            # replace GT query masks with SAM masks from ONE kmedoid point
+            # per object (reference vos_eval/eval.py:238-257)
+            query_masks = one_point_query_masks(
+                model, images, query_masks, gt_ti_list
+            )
+
         start = time.perf_counter()
 
         pred_logits = []
@@ -180,6 +225,8 @@ def evaluate(cfg) -> Dict:
                 "query_masks": query_masks[i : i + masks_batch_size],
                 "query_point_timestep": query_ts[i : i + masks_batch_size],
             }
+            if interactive and all_gt_masks:
+                video["gt_masks"] = [m[i : i + 1] for m in all_gt_masks]
             outputs = evaluator.evaluate_video(video)
             pred_logits.extend(outputs["logits"])
 
@@ -201,7 +248,10 @@ def evaluate(cfg) -> Dict:
         total_process_time += time.perf_counter() - start
         total_frames += t_frames
 
-        # save palette PNGs
+        if cfg.get("flip", False):
+            probs = probs[..., ::-1]
+
+        # save palette PNGs (+ optional per-frame probability arrays)
         for ti in range(t_frames):
             info = infos[ti]
             if not (save_all or info["save"]):
@@ -214,6 +264,21 @@ def evaluate(cfg) -> Dict:
             if vid_reader.get_palette() is not None:
                 img.putpalette(vid_reader.get_palette())
             img.save(path.join(this_out, info["frame"][:-4] + ".png"))
+
+            if cfg.get("save_scores", False):
+                np_path = path.join(cfg["output"], "Scores", vid_name)
+                os.makedirs(np_path, exist_ok=True)
+                np.savez_compressed(
+                    path.join(np_path, info["frame"][:-4] + ".npz"),
+                    probs=(probs[ti] * 255).astype(np.uint8),
+                )
+                if ti == t_frames - 1:
+                    with open(path.join(np_path, "backward.json"), "w") as f:
+                        import json
+
+                        json.dump(
+                            {int(k): int(v)
+                             for k, v in mapper.remappings.items()}, f)
 
     fps = total_frames / total_process_time if total_process_time > 0 else 0.0
     print(f"Total processing time: {total_process_time:.2f}s")
