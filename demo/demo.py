@@ -155,3 +155,45 @@ def cli():
 
 if __name__ == "__main__":
     cli()
+
+
+def interactive_query_points(images: np.ndarray, n_positive: int = 1) -> np.ndarray:
+    """cv2 click UI for collecting query points (reference demo.py:255-368).
+
+    Left click = positive point, right click = negative point, 'n' = next
+    mask, 'q' = done. Requires a display; headless runs should pass
+    query_points_path instead.
+    """
+    if cv2 is None:
+        raise RuntimeError("cv2 is required for the interactive UI")
+    frame = cv2.cvtColor(images[0], cv2.COLOR_RGB2BGR).copy()
+    masks: List[List[tuple]] = [[]]
+
+    def on_mouse(event, x, y, flags, param):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            masks[-1].append((0, float(x), float(y), 1))
+            cv2.circle(frame, (x, y), 4, (0, 255, 0), -1)
+        elif event == cv2.EVENT_RBUTTONDOWN:
+            masks[-1].append((0, float(x), float(y), 0))
+            cv2.circle(frame, (x, y), 4, (0, 0, 255), -1)
+
+    cv2.namedWindow("query points")
+    cv2.setMouseCallback("query points", on_mouse)
+    while True:
+        cv2.imshow("query points", frame)
+        key = cv2.waitKey(30) & 0xFF
+        if key == ord("n"):
+            masks.append([])
+        elif key == ord("q"):
+            break
+    cv2.destroyAllWindows()
+
+    masks = [m for m in masks if m]
+    n_points = max(len(m) for m in masks)
+    out = np.zeros((len(masks), n_points, 3), np.float32)
+    for mi, pts in enumerate(masks):
+        pos = [p for p in pts if p[3] == 1]
+        neg = [p for p in pts if p[3] == 0]
+        ordered = (pos + neg + [pos[-1]] * n_points)[:n_points]
+        out[mi] = [(t, x, y) for (t, x, y, _) in ordered]
+    return out
