@@ -122,9 +122,12 @@ def main(cfg) -> dict:
         cfg.get("max_frames"),
         cfg.get("longest_side_length"),
     )
-    query_points, n_positive = load_query_points(
-        cfg["query_points_path"], cfg.get("query_points_scale", 1.0)
-    )
+    if cfg.get("query_points_path"):
+        query_points, n_positive = load_query_points(
+            cfg["query_points_path"], cfg.get("query_points_scale", 1.0)
+        )
+    else:  # fall back to the interactive cv2 click UI (needs a display)
+        query_points, n_positive = interactive_query_points(images)
 
     model = instantiate(cfg["model"])
     model.positive_points_per_mask = n_positive
@@ -190,10 +193,11 @@ def interactive_query_points(images: np.ndarray, n_positive: int = 1) -> np.ndar
 
     masks = [m for m in masks if m]
     n_points = max(len(m) for m in masks)
+    n_positive = min(sum(1 for p in m if p[3] == 1) for m in masks)
     out = np.zeros((len(masks), n_points, 3), np.float32)
     for mi, pts in enumerate(masks):
         pos = [p for p in pts if p[3] == 1]
         neg = [p for p in pts if p[3] == 0]
         ordered = (pos + neg + [pos[-1]] * n_points)[:n_points]
         out[mi] = [(t, x, y) for (t, x, y, _) in ordered]
-    return out
+    return out, n_positive
