@@ -155,6 +155,13 @@ class SamPt:
         if hasattr(self.point_tracker, "set_masks"):
             self.point_tracker.set_masks(query_masks)
 
+        # device-logits mode: skip the logits download in _apply_sam entirely
+        # (the reinit path composes logits on host and is excluded)
+        self._keep_logits_device = (
+            bool(video.get("keep_logits_on_device", False))
+            and not self.use_point_reinit
+        )
+
         if not self.use_point_reinit:
             trajectories, visibilities, logits, scores, scores_per_frame = (
                 self._forward(images, query_points)
@@ -168,18 +175,25 @@ class SamPt:
         resize_factor = np.array(
             [target_hw[1] / w, target_hw[0] / h], np.float32
         )  # (x, y) scaling
+        keep_device = getattr(self, "_keep_logits_device", False)
         if (h, w) != target_hw:
             from ..ops.resize import resize_bilinear
 
-            logits = np.asarray(
-                resize_bilinear(jnp.asarray(logits)[..., None], target_hw)[..., 0]
-            )
+            logits_dev = resize_bilinear(
+                jnp.asarray(logits)[..., None], target_hw
+            )[..., 0]
+        else:
+            logits_dev = jnp.asarray(logits)
         trajectories = trajectories * resize_factor
 
-        assert logits.shape == (n_masks, t, *target_hw)
+        if keep_device:
+            logits_out = logits_dev.astype(jnp.float16)
+        else:
+            logits_out = [m for m in np.asarray(logits_dev)]
+            assert logits_out[0].shape == (t, *target_hw)
         assert trajectories.shape == (t, n_masks, n_points, 2)
         return {
-            "logits": [m for m in logits],
+            "logits": logits_out,
             "scores": list(np.asarray(scores, np.float64)),
             "scores_per_frame": np.asarray(scores_per_frame).tolist(),
             "trajectories": trajectories,
@@ -232,7 +246,12 @@ class SamPt:
         # single mask per frame (reference :329-335)
         traj = query_points[:, None, :, 1:]  # [frames=M, masks=1, P, 2]
         vis = np.ones(traj.shape[:-1], np.float32)
-        _, logits, _ = self._apply_sam(frames, traj, vis)
+        prev_mode = getattr(self, "_keep_logits_device", False)
+        self._keep_logits_device = False  # this helper needs host masks
+        try:
+            _, logits, _ = self._apply_sam(frames, traj, vis)
+        finally:
+            self._keep_logits_device = prev_mode
         # logits: [masks=1, frames=M, H, W] -> [M, H, W]
         return (logits[0] > self.sam_predictor.model.mask_threshold).astype(np.float32)
 
@@ -428,9 +447,11 @@ class SamPt:
         # downloaded as float16 (SAM logits are O(10) with a 0.0 decision
         # threshold, so fp16's mantissa is far below the mask-boundary noise
         # floor — and the transfer is half the bytes).
+        keep_device = getattr(self, "_keep_logits_device", False)
         iou_all = np.zeros((b,), np.float32)
-        logits = np.full((b, h, w), NEG_INF, np.float32)
         chunk = min(self.sam_decode_chunk, b)
+        dev_chunks = []
+        logits = None if keep_device else np.full((b, h, w), NEG_INF, np.float32)
         for i in range(0, b, chunk):
             sl = slice(i, min(i + chunk, b))
             nb = sl.stop - sl.start
@@ -442,15 +463,25 @@ class SamPt:
             lbl = jnp.asarray(lbl_flat[idx])
             low_res, iou = self._decode_pair_chunk(emb, pts, lbl, original_hw)
             up = predictor.upscale_logits(low_res, original_hw)
-            logits[sl] = np.asarray(up.astype(jnp.float16))[:nb].astype(
-                np.float32
-            )
+            if keep_device:
+                dev_chunks.append(up.astype(jnp.float16)[:nb])
+            else:
+                logits[sl] = np.asarray(up.astype(jnp.float16))[:nb].astype(
+                    np.float32
+                )
             iou_all[sl] = np.asarray(iou)[:nb]
 
         passed = has_visible & (iou_all >= self.sam_iou_threshold)
-        logits[~passed] = NEG_INF
-
-        logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)  # [M, T, H, W]
+        if keep_device:
+            logits = jnp.concatenate(dev_chunks, axis=0)
+            logits = jnp.where(
+                jnp.asarray(passed)[:, None, None], logits,
+                jnp.float16(NEG_INF),
+            )
+            logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)
+        else:
+            logits[~passed] = NEG_INF
+            logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)  # [M, T, H, W]
         scores_per_frame = np.where(has_visible, iou_all, NEG_INF).reshape(t, m)
         counts = has_visible.reshape(t, m).sum(axis=0)
         sums = np.where(has_visible, iou_all, 0.0).reshape(t, m).sum(axis=0)

@@ -110,6 +110,54 @@ def softmax_fuse(logits: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=1, keepdims=True)
 
 
+def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
+    """Fuse per-mask logits into index masks fully ON DEVICE.
+
+    logits_dev: [M, T, h, w] float16 (device); gt_masks: [M, h, w] float32;
+    gt_ts: [M] int. Applies pre-query-frame suppression and GT overwrite at
+    query frames (reference eval.py:319-325), then argmax against a zero
+    background channel (argmax of the softmax == argmax of the logits), and
+    downloads ONLY [T, h, w] uint8 index masks.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    m, t, h, w = logits_dev.shape
+    gt_dev = jnp.asarray(gt_masks > 0.5)
+    ts_dev = jnp.asarray(np.asarray(gt_ts, np.int32))
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def fuse(chunk_logits, frame_ids, args, _chunk):
+        gt, ts = args
+        big = jnp.float16(60000.0)
+        # suppress masks before their query frame
+        before = frame_ids[None, :] < ts[:, None]  # [M, F]
+        x = jnp.where(before[..., None, None], -big, chunk_logits)
+        # overwrite GT at the query frame
+        at_query = frame_ids[None, :] == ts[:, None]  # [M, F]
+        gt_val = jnp.where(gt[:, None, :, :], big, -big)  # [M, 1, h, w]
+        x = jnp.where(at_query[..., None, None], gt_val, x)
+        bg = jnp.zeros((1,) + x.shape[1:], x.dtype)
+        stacked = jnp.concatenate([bg, x], axis=0)  # [1+M, F, h, w]
+        return jnp.argmax(stacked, axis=0).astype(jnp.uint8)  # [F, h, w]
+
+    out = np.zeros((t, h, w), np.uint8)
+    for i in range(0, t, frame_chunk):
+        end = min(i + frame_chunk, t)
+        f = end - i
+        pad = frame_chunk - f
+        frame_ids = jnp.asarray(
+            np.concatenate([np.arange(i, end), np.full(pad, i)]).astype(np.int32)
+        )
+        chunk = logits_dev[:, jnp.asarray(np.concatenate(
+            [np.arange(i, end), np.full(pad, i)]))]
+        masks = fuse(chunk, frame_ids, (gt_dev, ts_dev), frame_chunk)
+        out[i:end] = np.asarray(masks)[:f]
+    return out
+
+
 def evaluate(cfg) -> Dict:
     seed_all(cfg.get("seed", 72))
 
@@ -214,7 +262,14 @@ def evaluate(cfg) -> Dict:
 
         start = time.perf_counter()
 
+        # device fusion keeps per-mask logits on the accelerator and only
+        # downloads uint8 index masks; probability saving needs the host path
+        device_fusion = cfg.get("device_fusion", True) and not cfg.get(
+            "save_scores", False
+        )
+
         pred_logits = []
+        device_parts = []
         for i in range(0, n_masks, masks_batch_size):
             video = {
                 "video_name": vid_name,
@@ -224,39 +279,60 @@ def evaluate(cfg) -> Dict:
                 "target_hw": target_hw,
                 "query_masks": query_masks[i : i + masks_batch_size],
                 "query_point_timestep": query_ts[i : i + masks_batch_size],
+                "keep_logits_on_device": device_fusion,
             }
             if interactive and all_gt_masks:
                 video["gt_masks"] = [m[i : i + 1] for m in all_gt_masks]
             outputs = evaluator.evaluate_video(video)
-            pred_logits.extend(outputs["logits"])
+            if isinstance(outputs["logits"], list):
+                pred_logits.extend(outputs["logits"])
+            else:
+                device_parts.append(outputs["logits"])  # [m_i, T, h, w] dev
 
         t_frames = len(rgbs)
-        logits = np.stack(
-            [np.zeros_like(pred_logits[0])] + pred_logits, axis=1
-        )  # [T, 1+M, h, w]
+        gt_resized_all = np.stack(
+            [nearest_resize_index(m, target_hw) for m in gt_mask_list]
+        )
 
-        # zero out predictions before each mask's query frame; overwrite GT at
-        # query frames (reference :319-325)
-        for i, gt_ti in enumerate(gt_ti_list):
-            logits[:gt_ti, i + 1] = -1e8
-        for i, (gt_ti, gt_mask) in enumerate(zip(gt_ti_list, gt_mask_list)):
-            gt_resized = nearest_resize_index(gt_mask, target_hw)
-            logits[gt_ti, i + 1] = np.where(gt_resized > 0.5, 1e8, -1e8)
+        if device_parts:
+            import jax.numpy as jnp
 
-        probs = softmax_fuse(logits)
+            logits_dev = (
+                device_parts[0]
+                if len(device_parts) == 1
+                else jnp.concatenate(device_parts, axis=0)
+            )
+            index_masks = device_fuse_index_masks(
+                logits_dev, gt_resized_all, gt_ti_list
+            )
+            if cfg.get("flip", False):
+                index_masks = index_masks[..., ::-1]
+        else:
+            logits = np.stack(
+                [np.zeros_like(pred_logits[0])] + pred_logits, axis=1
+            )  # [T, 1+M, h, w]
+            # zero out predictions before each mask's query frame; overwrite
+            # GT at query frames (reference :319-325)
+            for i, gt_ti in enumerate(gt_ti_list):
+                logits[:gt_ti, i + 1] = -1e8
+            for i, gt_ti in enumerate(gt_ti_list):
+                logits[gt_ti, i + 1] = np.where(
+                    gt_resized_all[i] > 0.5, 1e8, -1e8
+                )
+            probs = softmax_fuse(logits)
+            if cfg.get("flip", False):
+                probs = probs[..., ::-1]  # saved probabilities are unflipped
+            index_masks = probs.argmax(axis=1).astype(np.uint8)
 
         total_process_time += time.perf_counter() - start
         total_frames += t_frames
-
-        if cfg.get("flip", False):
-            probs = probs[..., ::-1]
 
         # save palette PNGs (+ optional per-frame probability arrays)
         for ti in range(t_frames):
             info = infos[ti]
             if not (save_all or info["save"]):
                 continue
-            out_mask = probs[ti].argmax(axis=0).astype(np.uint8)
+            out_mask = index_masks[ti]
             out_mask = mapper.remap_index_mask(out_mask)
             this_out = path.join(out_path, vid_name)
             os.makedirs(this_out, exist_ok=True)

@@ -197,3 +197,40 @@ class TestBDD100K:
         ).evaluate()
         np.testing.assert_allclose(df_global["J&F-Mean"].iloc[0], 1.0)
         assert len(df_per_seq) == 2  # two objects
+
+
+class TestDeviceFusionParity:
+    def test_fusion_paths_agree_on_shared_logits(self, rng):
+        """device_fuse_index_masks == host softmax+argmax on the same logits.
+
+        (An end-to-end double-run comparison is tie-unstable under random
+        weights: near-zero logits make the extra f16 quantization of the
+        device path flip whole frames. Real checkpoints have O(10) logit
+        margins, so fusion parity on shared logits is the meaningful check.)
+        """
+        import jax.numpy as jnp
+
+        from sam_pt_tpu.vos_eval.eval import (
+            device_fuse_index_masks,
+            softmax_fuse,
+        )
+
+        m, t, h, w = 3, 5, 24, 32
+        logits = (rng.standard_normal((m, t, h, w)) * 4).astype(np.float16)
+        gt = (rng.uniform(size=(m, h, w)) > 0.5).astype(np.float32)
+        gt_ts = [0, 2, 4]
+
+        dev = device_fuse_index_masks(
+            jnp.asarray(logits), gt, gt_ts, frame_chunk=2
+        )
+
+        host_logits = np.concatenate(
+            [np.zeros((1, t, h, w), np.float32),
+             logits.astype(np.float32)], 0
+        ).transpose(1, 0, 2, 3)
+        for i, ts in enumerate(gt_ts):
+            host_logits[:ts, i + 1] = -1e8
+            host_logits[ts, i + 1] = np.where(gt[i] > 0.5, 1e8, -1e8)
+        host = softmax_fuse(host_logits).argmax(axis=1).astype(np.uint8)
+
+        np.testing.assert_array_equal(np.asarray(dev), host)
