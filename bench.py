@@ -1,97 +1,107 @@
-"""Benchmark: video frames/sec/chip for the SAM-PT pipeline on real hardware.
+"""Benchmark: video frames/sec/chip for the FULL SAM-PT pipeline.
 
-Measures the batched SAM stage (frame encoding + per-(frame, object) mask
-decoding with the negative-point chain) — the dominant cost of the reference
-pipeline (SURVEY.md §3.1 hot spots) — on DAVIS-shaped inputs with the
-flagship ViT-H encoder, plus the PIPS tracker window program, and reports
-end-to-end frames/sec against the reference's 1.4 FPS (ViT-H, BASELINE.md).
+Measures exactly the driver's north-star configuration (BASELINE.json):
+DAVIS-shaped video through SamPt with the SAM ViT-H encoder + CoTracker
+(stride 4, window 8), including query-point sampling, bidirectional tracking,
+batched SAM prompting with the negative-point chain and 12 box-refinement
+passes, device-side fusion to index masks, and the uint8 mask download —
+i.e., everything the VOS eval harness times (reference methodology:
+total_frames / total_process_time, sam_pt/vos_eval/eval.py:262-337).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Weights are random (no checkpoints ship with this environment); throughput is
+weight-independent. Prints ONE JSON line.
 """
 from __future__ import annotations
 
 import json
-import os
-import sys
 import time
 
-# Keep this on the real accelerator (do NOT force CPU here).
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_FPS = 1.4  # reference SAM ViT-H + PIPS, 1 GPU (BASELINE.md)
+BASELINE_FPS = 1.4  # reference SAM ViT-H (+PIPS tracker), 1 GPU (BASELINE.md)
 
 
-def bench_sam_pipeline(
-    n_frames: int = 8,
-    n_masks: int = 3,
-    h: int = 480,
-    w: int = 910,
-    variant: str = "vit_h",
-    dtype=jnp.bfloat16,
-    points_per_mask: int = 9,
-):
-    from sam_pt_tpu.models.sam.sam_model import Sam
+def random_params(init_shape_fn, seed=1, dtype=jnp.bfloat16):
+    shapes = jax.eval_shape(init_shape_fn)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.normal(k, l.shape, dtype) * 0.02
+         for k, l in zip(keys, leaves)],
+    )
+
+
+def build_pipeline(n_frames, h, w, variant="vit_h"):
     from sam_pt_tpu.models.sam.predictor import SamPredictor
-    from sam_pt_tpu.ops.resize import get_longest_side_target_hw, resize_bilinear
-
-    model = Sam(encoder_variant=variant, dtype=dtype)
-    th, tw = get_longest_side_target_hw(h, w, model.image_size)
-
-    rng = jax.random.PRNGKey(0)
-    images = jax.random.uniform(rng, (n_frames, th, tw, 3), jnp.float32) * 255.0
-
-    init_imgs = jnp.zeros((1, th, tw, 3))
-    init_pts = jnp.zeros((1, points_per_mask, 2))
-    init_lbl = jnp.zeros((1, points_per_mask), jnp.int32)
-    params = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), init_imgs, init_pts, init_lbl)
+    from sam_pt_tpu.models.sam.sam_model import Sam
+    from sam_pt_tpu.models.sam_pt import SamPt
+    from sam_pt_tpu.models.tracker.cotracker.tracker import (
+        CoTrackerPointTracker,
     )
-    # materialize random params without a giant host roundtrip
-    leaves, treedef = jax.tree_util.tree_flatten(
-        params, is_leaf=lambda x: hasattr(x, "shape")
-    )
-    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
-    material = [
-        jax.random.normal(k, l.shape, l.dtype) * 0.02 for k, l in zip(keys, leaves)
-    ]
-    params = jax.tree_util.tree_unflatten(treedef, material)
 
-    # inference-mode bf16 parameters: halves parameter-read traffic
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        params,
+    model = Sam(encoder_variant=variant, dtype=jnp.bfloat16)
+    params = random_params(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 540, 1024, 3)),
+            jnp.zeros((1, 2, 2)),
+            jnp.zeros((1, 2), jnp.int32),
+        )
     )
     predictor = SamPredictor(model, params)
-    params = predictor.params
 
-    b = n_frames * n_masks
-    pts = jax.random.uniform(rng, (b, points_per_mask, 2)) * jnp.array([w, h])
-    lbl = jnp.tile(
-        jnp.array([[1] * (points_per_mask - 1) + [0]], jnp.int32), (b, 1)
+    tracker = CoTrackerPointTracker(
+        interp_shape=(384, 512), s=8, stride=4, iters=6,
+        support_grid_size=2, support_grid_every_n_frames=12,
+        dtype=jnp.bfloat16,
+    )
+    tracker.init_params(jax.random.PRNGKey(0), 64, 64)
+
+    return SamPt(
+        point_tracker=tracker,
+        sam_predictor=predictor,
+        positive_points_per_mask=8,
+        negative_points_per_mask=1,
+        positive_point_selection_method="random",
+        negative_point_selection_method="random",
+        add_other_objects_positive_points_as_negative_points=True,
+        iterative_refinement_iterations=12,
+        sam_iou_threshold=0.7,
+        sam_decode_chunk=48,
+        sam_encode_chunk=8,
     )
 
-    def run_once():
-        emb = predictor._encode_jit(params, images)  # [T, g, g, 256]
-        emb_pairs = jnp.repeat(emb, n_masks, axis=0)
-        pos_lbl = jnp.where(lbl == 1, 1, -1)
-        low1, _, _ = predictor.predict(emb_pairs, pts, pos_lbl, (h, w))
-        low, iou, _ = predictor.predict(
-            emb_pairs, pts, lbl, (h, w),
-            mask_input=low1[:, 0, :, :, None],
-            mask_valid=jnp.ones((b,), bool),
-        )
-        # force full execution with a scalar device->host transfer
-        # (block_until_ready does not reliably synchronize through remote
-        # execution tunnels)
-        return float(jnp.sum(low)) + float(jnp.sum(iou))
 
-    # warmup/compile
-    run_once()
+def bench_full_pipeline(n_frames=16, n_masks=3, h=480, w=854):
+    from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
+
+    sam_pt = build_pipeline(n_frames, h, w)
+
+    rng = np.random.default_rng(0)
+    masks = np.zeros((n_masks, h, w), np.float32)
+    for i in range(n_masks):
+        masks[i, 40 + 120 * i : 160 + 120 * i, 80 : 460] = 1
+    video = {
+        "image": rng.integers(0, 255, size=(n_frames, h, w, 3)).astype(np.uint8),
+        "target_hw": (h, w),
+        "query_masks": masks,
+        "query_point_timestep": np.zeros((n_masks,), np.float32),
+        "keep_logits_on_device": True,
+    }
+
+    def run_once():
+        out = sam_pt.forward(video)
+        idx = device_fuse_index_masks(
+            out["logits"], masks, [0] * n_masks
+        )  # uint8 [T, h, w] downloaded — the eval harness's output
+        return idx
+
+    run_once()  # compile
+    n_iter = 2
     t0 = time.perf_counter()
-    n_iter = 3
     for _ in range(n_iter):
         run_once()
     dt = (time.perf_counter() - t0) / n_iter
@@ -100,11 +110,11 @@ def bench_sam_pipeline(
 
 def main():
     try:
-        fps = bench_sam_pipeline()
+        fps = bench_full_pipeline()
         print(
             json.dumps(
                 {
-                    "metric": "sam_vith_pipeline_fps_davis480p",
+                    "metric": "sam_pt_e2e_fps_vith_cotracker_davis480p",
                     "value": round(float(fps), 3),
                     "unit": "frames/sec/chip",
                     "vs_baseline": round(float(fps) / BASELINE_FPS, 2),
