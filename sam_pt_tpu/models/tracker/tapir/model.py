@@ -17,8 +17,9 @@ Re-implements the reference's in-repo JAX/Haiku TAPIR
     and running track features into the depthwise-conv PIPSMLPMixer
     (hidden 512, 12 blocks, kernel 3, reference :101-156, :419-567).
 
-Offline mode only this round; the causal/streaming context of the reference
-(:773-819) is planned as a follow-up (carry = depthwise-conv state).
+Supports both offline and causal/streaming modes (reference :773-819): with
+`use_causal_conv=True` the mixer's depthwise convs pad causally and
+`online_step` carries per-block conv context across frame chunks.
 Operates per video (no batch axis); the tracker vmaps/chunks queries.
 """
 from __future__ import annotations
@@ -115,22 +116,47 @@ class TapirResNet(nn.Module):
 
 
 class PIPsConvBlock(nn.Module):
-    """Depthwise-conv mixer block: time-mixing dwconvs + channel MLP."""
+    """Depthwise-conv mixer block: time-mixing dwconvs + channel MLP.
+
+    Causal/streaming mode (reference :39-124): both depthwise convs use
+    left-only padding and optionally consume/emit `causal context` — the last
+    (kernel-1) input frames of each conv — so the block can be applied to new
+    frames online with identical outputs to the offline pass.
+    """
 
     kernel_shape: int = 3
+    use_causal_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [N, F, C]
+    def __call__(self, x, causal_context=None, get_causal_context=False):
         c = x.shape[-1]
+        k = self.kernel_shape
+        pad = ((k - 1, 0),) if self.use_causal_conv else "SAME"
+        new_ctx = {}
+
         skip = x
         y = nn.LayerNorm(use_bias=False, name="norm1")(x)
+        if causal_context is not None:
+            y = jnp.concatenate([causal_context["causal_1"], y], axis=-2)
+            extra = causal_context["causal_1"].shape[-2]
+        if get_causal_context:
+            new_ctx["causal_1"] = y[..., -(k - 1):, :]
         # dw conv 1: channel multiplier 4, interleaved output layout
-        y = nn.Conv(4 * c, (self.kernel_shape,), padding="SAME",
+        y = nn.Conv(4 * c, (k,), padding=pad,
                     feature_group_count=c, name="dw1", dtype=self.dtype)(y)
         y = nn.gelu(y)
-        y = nn.Conv(4 * c, (self.kernel_shape,), padding="SAME",
+        if causal_context is not None:
+            y = jnp.concatenate(
+                [causal_context["causal_2"], y[..., extra:, :]], axis=-2
+            )
+            extra = causal_context["causal_2"].shape[-2]
+        if get_causal_context:
+            new_ctx["causal_2"] = y[..., -(k - 1):, :]
+        y = nn.Conv(4 * c, (k,), padding=pad,
                     feature_group_count=4 * c, name="dw2", dtype=self.dtype)(y)
+        if causal_context is not None:
+            y = y[..., extra:, :]
         # collapse the 4 per-channel copies (reference :87)
         y = y[..., 0::4] + y[..., 1::4] + y[..., 2::4] + y[..., 3::4]
         x = skip + y
@@ -139,7 +165,7 @@ class PIPsConvBlock(nn.Module):
         y = nn.Dense(4 * c, name="mlp2_up", dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Dense(c, name="mlp2_down", dtype=self.dtype)(y)
-        return skip + y
+        return skip + y, new_ctx
 
 
 class PIPSMLPMixer(nn.Module):
@@ -147,17 +173,27 @@ class PIPSMLPMixer(nn.Module):
     hidden_dim: int = 512
     num_blocks: int = 12
     kernel_shape: int = 3
+    use_causal_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [N, F, C_in]
+    def __call__(self, x, causal_context=None, get_causal_context=False):
+        """x: [N, F, C_in]; causal_context: list (per block) of dicts."""
         x = nn.Dense(self.hidden_dim, name="input_proj", dtype=self.dtype)(x)
+        all_ctx = []
         for i in range(self.num_blocks):
-            x = PIPsConvBlock(self.kernel_shape, name=f"block_{i}",
-                              dtype=self.dtype)(x)
+            ctx = causal_context[i] if causal_context is not None else None
+            x, new_ctx = PIPsConvBlock(
+                self.kernel_shape, self.use_causal_conv, name=f"block_{i}",
+                dtype=self.dtype,
+            )(x, ctx, get_causal_context)
+            all_ctx.append(new_ctx)
         x = nn.LayerNorm(use_bias=False, name="out_norm")(x)
-        return nn.Dense(self.output_channels, name="out_proj",
-                        dtype=self.dtype)(x)
+        out = nn.Dense(self.output_channels, name="out_proj",
+                       dtype=self.dtype)(x)
+        if get_causal_context or causal_context is not None:
+            return out, all_ctx
+        return out
 
 
 def convert_coords(coords, src_wh, dst_wh):
@@ -195,6 +231,7 @@ class TAPIR(nn.Module):
     num_mixer_blocks: int = 12
     patch_size: int = 7
     softmax_temperature: float = 20.0
+    use_causal_conv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -203,6 +240,7 @@ class TAPIR(nn.Module):
             4 + self.highres_dim + self.lowres_dim,
             hidden_dim=self.mixer_hidden_dim,
             num_blocks=self.num_mixer_blocks,
+            use_causal_conv=self.use_causal_conv,
             dtype=self.dtype,
         )
         self.cost_conv1 = nn.Conv(16, (3, 3), padding="SAME",
@@ -275,19 +313,21 @@ class TAPIR(nn.Module):
         occlusion = occ[..., 0].T  # [N, T]
         expected_dist = occ[..., 1].T
 
-        # pin the query frame to the query point exactly
-        frame_ids = jnp.round(query_points[:, 0]).astype(jnp.int32)
-        onehot = jax.nn.one_hot(frame_ids, t)  # [N, T]
-        q_xy = query_points[:, jnp.array([2, 1])]  # (x, y) from (t, y, x)
-        points = (
-            points * (1 - onehot)[..., None]
-            + q_xy[:, None, :] * onehot[..., None]
-        )
+        if query_points is not None:
+            # pin the query frame to the query point exactly
+            frame_ids = jnp.round(query_points[:, 0]).astype(jnp.int32)
+            onehot = jax.nn.one_hot(frame_ids, t)  # [N, T]
+            q_xy = query_points[:, jnp.array([2, 1])]  # (x, y) from (t, y, x)
+            points = (
+                points * (1 - onehot)[..., None]
+                + q_xy[:, None, :] * onehot[..., None]
+            )
         return points, occlusion, expected_dist
 
     # ------------------------------------------------------------------
     def refine_pips(self, query_feats, pyramid, pos_guess, occ_guess,
-                    expd_guess, last_iter=None):
+                    expd_guess, last_iter=None, causal_context=None,
+                    get_causal_context=False):
         """One refinement pass.
 
         query_feats: (hires [N, Ch], lowres [N, Cl]); pyramid: list of grids
@@ -338,17 +378,26 @@ class TAPIR(nn.Module):
             ],
             axis=-1,
         )
-        res = self.pips_mixer(mlp_input)  # [N, T, 4 + Ch + Cl]
+        if causal_context is not None or get_causal_context:
+            res, new_ctx = self.pips_mixer(
+                mlp_input, causal_context, get_causal_context
+            )
+        else:
+            res = self.pips_mixer(mlp_input)  # [N, T, 4 + Ch + Cl]
+            new_ctx = None
 
         # position update predicted in the (resized) feature resolution;
         # at TRAIN_SIZE the conversion is identity
         pos_update = res[..., :2]
-        return (
+        out = (
             pos_guess + pos_update,
             occ_guess + res[..., 2],
             expd_guess + res[..., 3],
             res[..., 4:] + feats,
         )
+        if causal_context is not None or get_causal_context:
+            return out + (new_ctx,)
+        return out
 
     # ------------------------------------------------------------------
     def __call__(self, video: jnp.ndarray, query_points: jnp.ndarray):
@@ -381,3 +430,49 @@ class TAPIR(nn.Module):
             "occlusion": occlusion,
             "expected_dist": expected_dist,
         }
+
+    # ------------------------------------------------------------------
+    # Online / streaming mode (reference :773-819, causal conv context)
+    # ------------------------------------------------------------------
+    def get_query_features_online(self, frames, query_points):
+        """frames [F, 256, 256, 3] containing the query frames;
+        query_points [N, 3] (t, y, x) with t indexing into `frames`."""
+        hires, lowres = self.get_feature_grids(frames)
+        return self.get_query_features(hires, lowres, query_points)
+
+    def online_step(self, frames, q_hi, q_lo, causal_state=None,
+                    query_points=None):
+        """Track a chunk of new frames with carried causal-conv context.
+
+        frames: [F, 256, 256, 3] in [-1, 1]; q_hi/q_lo: query features from
+        `get_query_features_online`; causal_state: per-refinement-iteration
+        list of per-block context dicts (None for the first chunk).
+        Returns (dict(tracks [N, F, 2], occlusion, expected_dist), new_state).
+        """
+        hires, lowres = self.get_feature_grids(frames)
+        points, occlusion, expected_dist = self.tracks_from_cost_volume(
+            q_lo, lowres, query_points
+        )
+
+        pyramid = [hires, lowres]
+        for _ in range(self.pyramid_level):
+            pyramid.append(nn.avg_pool(pyramid[-1], (2, 2), strides=(2, 2)))
+
+        mixer_feats = None
+        new_state = []
+        for i in range(self.num_pips_iter):
+            ctx = causal_state[i] if causal_state is not None else None
+            points, occlusion, expected_dist, mixer_feats, new_ctx = (
+                self.refine_pips(
+                    (q_hi, q_lo), pyramid, points, occlusion, expected_dist,
+                    last_iter=mixer_feats, causal_context=ctx,
+                    get_causal_context=True,
+                )
+            )
+            new_state.append(new_ctx)
+        out = {
+            "tracks": points,
+            "occlusion": occlusion,
+            "expected_dist": expected_dist,
+        }
+        return out, new_state

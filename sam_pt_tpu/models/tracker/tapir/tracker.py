@@ -114,3 +114,85 @@ class TapirPointTracker(PointTracker):
         trajectories = tracks.transpose(1, 0, 2)  # [T, N, 2]
         visibilities = visibles.T.astype(np.float32)
         return trajectories[None], visibilities[None]
+
+
+class OnlineTapirPointTracker:
+    """Streaming TAPIR: frame-at-a-time tracking with causal-conv context.
+
+    Mirrors the reference's online mode (tapir_model.py:773-819, the
+    `causal_tapir_checkpoint` flow): query features are extracted once from
+    the query frame; each `track_frame` call refines the new frame with the
+    carried per-block depthwise-conv state. Used for interactive streaming
+    (BASELINE.json config[4]).
+    """
+
+    def __init__(self, checkpoint_path=None, visibility_threshold: float = 0.1,
+                 dtype=jnp.float32, params=None, allow_random_init: bool = False):
+        self.visibility_threshold = visibility_threshold
+        self.model = TAPIR(use_causal_conv=True, dtype=dtype)
+        if params is None and checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                from ....utils.checkpoint import load_tapir_checkpoint
+
+                params = load_tapir_checkpoint(checkpoint_path)
+            elif not allow_random_init:
+                raise FileNotFoundError(checkpoint_path)
+        self.params = params
+        self._state = None
+        self._queries = None
+        self._hw = None
+
+        self._qf_jit = jax.jit(
+            lambda p, f, q: self.model.apply(
+                p, f, q, method=TAPIR.get_query_features_online)
+        )
+        self._step_jit = jax.jit(
+            lambda p, f, qh, ql, st: self.model.apply(
+                p, f, qh, ql, st, None, method=TAPIR.online_step)
+        )
+
+    def _prep(self, frame: np.ndarray) -> jnp.ndarray:
+        h, w = frame.shape[:2]
+        self._hw = (h, w)
+        f = resize_bilinear(
+            jnp.asarray(frame.astype(np.float32))[None], TRAIN_SIZE
+        )
+        return f / 255.0 * 2.0 - 1.0
+
+    def init_tracking(self, frame: np.ndarray, query_xy: np.ndarray) -> None:
+        """frame [H, W, 3] uint8; query_xy [N, 2] (x, y) pixel coords."""
+        if self.params is None:
+            video = jnp.zeros((1, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))
+            qp = jnp.zeros((len(query_xy), 3))
+            self.params = self.model.init(jax.random.PRNGKey(0), video, qp)
+        h, w = frame.shape[:2]
+        q_tyx = np.stack(
+            [np.zeros(len(query_xy)),
+             query_xy[:, 1] * (TRAIN_SIZE[0] / h),
+             query_xy[:, 0] * (TRAIN_SIZE[1] / w)], axis=-1
+        ).astype(np.float32)
+        f = self._prep(frame)
+        self._queries = self._qf_jit(self.params, f, jnp.asarray(q_tyx))
+        self._state = None
+
+    def track_frame(self, frame: np.ndarray):
+        """Returns (positions [N, 2] (x, y) pixels, visible [N] bool)."""
+        assert self._queries is not None, "call init_tracking first"
+        f = self._prep(frame)
+        q_hi, q_lo = self._queries
+        out, self._state = self._step_jit(self.params, f, q_hi, q_lo,
+                                          self._state)
+        tracks = np.asarray(out["tracks"])[:, 0]  # [N, 2] xy in 256-raster
+        occ = np.asarray(out["occlusion"])[:, 0]
+        expd = np.asarray(out["expected_dist"])[:, 0]
+        h, w = self._hw
+        tracks = tracks * np.array(
+            [w / TRAIN_SIZE[1], h / TRAIN_SIZE[0]], np.float32
+        )
+        visible = (
+            (1 - 1 / (1 + np.exp(-occ))) * (1 - 1 / (1 + np.exp(-expd)))
+            > self.visibility_threshold
+        )
+        return tracks, visible

@@ -72,3 +72,65 @@ class TestTracker:
         assert traj.shape == (1, t, 2, 2)
         assert vis.shape == (1, t, 2)
         np.testing.assert_allclose(traj[0, 0, 0], [5.0, 6.0], atol=0.5)
+
+
+class TestStreaming:
+    def test_online_matches_offline_causal(self, rng):
+        """Chunked online steps with carried causal context must equal one
+        causal pass over the concatenated frames."""
+        import jax
+        import jax.numpy as jnp
+        from sam_pt_tpu.models.tracker.tapir.model import TAPIR
+
+        model = TAPIR(num_pips_iter=2, num_mixer_blocks=2,
+                      mixer_hidden_dim=32, use_causal_conv=True)
+        f_total = 4
+        video = jnp.asarray(
+            rng.uniform(-1, 1, size=(f_total, 256, 256, 3)).astype(np.float32)
+        )
+        qp = jnp.array([[0, 100.0, 50.0], [0, 30.0, 90.0]])
+        params = model.init(jax.random.PRNGKey(0), video, qp)
+
+        q_hi, q_lo = model.apply(
+            params, video[:1], qp, method=TAPIR.get_query_features_online
+        )
+
+        # offline causal over all frames at once
+        full, _ = model.apply(
+            params, video, q_hi, q_lo, None, None, method=TAPIR.online_step
+        )
+
+        # streamed one frame at a time with carried context
+        state = None
+        chunks = []
+        for f in range(f_total):
+            out, state = model.apply(
+                params, video[f : f + 1], q_hi, q_lo, state, None,
+                method=TAPIR.online_step,
+            )
+            chunks.append(np.asarray(out["tracks"]))
+        streamed = np.concatenate(chunks, axis=1)
+
+        np.testing.assert_allclose(
+            streamed, np.asarray(full["tracks"]), atol=1e-3
+        )
+
+
+class TestOnlineTracker:
+    def test_streaming_api(self, rng):
+        from sam_pt_tpu.models.tracker.tapir.tracker import (
+            OnlineTapirPointTracker,
+        )
+        from sam_pt_tpu.models.tracker.tapir.model import TAPIR
+
+        tr = OnlineTapirPointTracker(allow_random_init=True)
+        tr.model = TAPIR(num_pips_iter=1, num_mixer_blocks=1,
+                         mixer_hidden_dim=32, use_causal_conv=True)
+        frame = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+        tr.init_tracking(frame, np.array([[5.0, 6.0], [20.0, 15.0]]))
+        for _ in range(3):
+            pts, vis = tr.track_frame(
+                rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+            )
+        assert pts.shape == (2, 2)
+        assert vis.shape == (2,)
