@@ -53,6 +53,30 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _grouped_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, group):
+    """Small-sequence variant: a group of `group` independent windows per
+    grid step, each window's attention computed fully in VMEM."""
+
+    def body(g, _):
+        q = q_ref[0, g]  # [N, Da]
+        k = k_ref[0, g]
+        v = v_ref[0, g]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, g] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, body, 0)
+
+
 def _pad_last(x, target):
     d = x.shape[-1]
     if d == target:
@@ -108,24 +132,52 @@ def fused_relpos_attention(
     v_p = _pad_last(v, dp)
     da = q_aug.shape[-1]
 
-    tq = min(q_tile, n)
-    assert n % tq == 0
+    if n >= 1024:
+        # large sequences: tile queries, K/V resident for the whole sequence
+        tq = min(q_tile, n)
+        assert n % tq == 0
+        out = pl.pallas_call(
+            _attention_kernel,
+            grid=(b, n // tq),
+            in_specs=[
+                pl.BlockSpec((1, tq, da), lambda bi, qi: (bi, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, da), lambda bi, qi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, dp), lambda bi, qi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tq, dp), lambda bi, qi: (bi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n, dp), dtype),
+            interpret=interpret,
+        )(q_aug, k_aug, v_p)
+        return out[..., :d]
 
+    # small sequences (ViT windows): group many windows per grid step so the
+    # [N, N] attention tensors never exist outside VMEM
+    group = 1
+    for g in (16, 8, 4, 2, 1):  # 16 fits VMEM with double buffering
+        if b % g == 0:
+            group = g
+            break
+    qg = q_aug.reshape(b // group, group, n, da)
+    kg = k_aug.reshape(b // group, group, n, da)
+    vg = v_p.reshape(b // group, group, n, dp)
     out = pl.pallas_call(
-        _attention_kernel,
-        grid=(b, n // tq),
+        functools.partial(_grouped_attention_kernel, group=group),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, tq, da), lambda bi, qi: (bi, qi, 0),
+            pl.BlockSpec((1, group, n, da), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, da), lambda bi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, group, n, da), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda bi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, group, n, dp), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, dp), lambda bi, qi: (bi, qi, 0),
+        out_specs=pl.BlockSpec((1, group, n, dp), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, dp), dtype),
+        out_shape=jax.ShapeDtypeStruct((b // group, group, n, dp), dtype),
         interpret=interpret,
-    )(q_aug, k_aug, v_p)
-
-    return out[..., :d]
+    )(qg, kg, vg)
+    return out.reshape(b, n, dp)[..., :d]
