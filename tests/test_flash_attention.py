@@ -86,3 +86,38 @@ class TestFusedAttention:
         np.testing.assert_allclose(
             np.asarray(fused).reshape(1, h * w, c), np.asarray(ref), atol=2e-4
         )
+
+
+class TestWindowVariants:
+    def test_grouped_small_n_path(self, rng):
+        """N < 1024 routes through the grouped kernel; must match naive."""
+        b, kh, kw, d = 8, 4, 8, 24  # N = 32
+        n = kh * kw
+        q = rng.standard_normal((b, n, d)).astype(np.float32)
+        k = rng.standard_normal((b, n, d)).astype(np.float32)
+        v = rng.standard_normal((b, n, d)).astype(np.float32)
+        bh = rng.standard_normal((b, n, kh)).astype(np.float32) * 0.3
+        bw = rng.standard_normal((b, n, kw)).astype(np.float32) * 0.3
+        got = fused_relpos_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bh), jnp.asarray(bw), scale=0.2,
+        )
+        ref = naive(q, k, v, bh, bw, 0.2)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+    def test_blockdiag_window_attention(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_window_attention
+
+        b, kh, kw, d = 8, 4, 8, 24
+        n = kh * kw
+        q = rng.standard_normal((b, n, d)).astype(np.float32)
+        k = rng.standard_normal((b, n, d)).astype(np.float32)
+        v = rng.standard_normal((b, n, d)).astype(np.float32)
+        bh = rng.standard_normal((b, n, kh)).astype(np.float32) * 0.3
+        bw = rng.standard_normal((b, n, kw)).astype(np.float32) * 0.3
+        got = fused_window_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bh), jnp.asarray(bw), scale=0.2, group=4,
+        )
+        ref = naive(q, k, v, bh, bw, 0.2)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
