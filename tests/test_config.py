@@ -79,3 +79,43 @@ class TestInstantiate:
     def test_partial(self):
         fn = instantiate({"_target_": "operator.add", "_partial_": True})
         assert fn(2, 3) == 5
+
+
+class TestRealConfigTree:
+    """The shipped configs/ tree must compose + interpolate for every
+    tracker and SAM variant (no instantiation — that needs checkpoints)."""
+
+    def test_all_tracker_groups_compose(self):
+        import pathlib
+
+        cfg_dir = pathlib.Path(__file__).parent.parent / "configs"
+        trackers = ["pips", "pips_plus_plus", "cotracker", "raft",
+                    "tapir", "tapnet", "superglue"]
+        for tr in trackers:
+            cfg = compose(cfg_dir, "vos_eval_root",
+                          [f"model/point_tracker={tr}"])
+            cfg = resolve_interpolations(cfg, runtime_cwd="/repo")
+            assert cfg["model"]["point_tracker"]["_target_"], tr
+
+    def test_all_sam_variants_compose(self):
+        import pathlib
+
+        cfg_dir = pathlib.Path(__file__).parent.parent / "configs"
+        variants = ["sam_vit_base", "sam_vit_large", "sam_vit_huge",
+                    "sam_mobile_vit_tiny", "samhq_vit_huge",
+                    "samhq_light_vit_tiny"]
+        for v in variants:
+            cfg = compose(cfg_dir, "vos_eval_root",
+                          [f"model/sam@model.sam_predictor={v}"])
+            cfg = resolve_interpolations(cfg, runtime_cwd="/repo")
+            assert cfg["model"]["sam_predictor"]["variant"], v
+
+    def test_vis_and_demo_compose(self):
+        import pathlib
+
+        cfg_dir = pathlib.Path(__file__).parent.parent / "configs"
+        for name in ("vis_eval_root", "demo"):
+            cfg = resolve_interpolations(
+                compose(cfg_dir, name), runtime_cwd="/repo"
+            )
+            assert cfg["model"], name
