@@ -120,3 +120,15 @@ class TestReinit:
         assert out["logits"][0].shape == (t, h, w)
         assert np.isfinite(out["trajectories"]).all()
         assert out["visibilities"].shape[0] == t
+
+
+class TestDeterminism:
+    def test_forward_is_deterministic(self):
+        """Same video + fresh identically-seeded models -> identical outputs
+        (the reference relies on seed_all + re-seeding, SURVEY.md §4.6)."""
+        video = make_video(with_masks=True)
+        out1 = build_tiny_sam_pt().forward(dict(video))
+        out2 = build_tiny_sam_pt().forward(dict(video))
+        np.testing.assert_array_equal(out1["trajectories"], out2["trajectories"])
+        for a, b in zip(out1["logits"], out2["logits"]):
+            np.testing.assert_array_equal(a, b)
