@@ -461,14 +461,12 @@ class SamPt:
             emb = _emb_index(embeddings, jnp.asarray(emb_flat[idx]))
             pts = jnp.asarray(pts_flat[idx])
             lbl = jnp.asarray(lbl_flat[idx])
-            low_res, iou = self._decode_pair_chunk(emb, pts, lbl, original_hw)
-            up = predictor.upscale_logits(low_res, original_hw)
+            chain = self._get_chain_fn(original_hw, upscale=True)
+            up, iou = chain(predictor.params, emb, pts, lbl)
             if keep_device:
-                dev_chunks.append(up.astype(jnp.float16)[:nb])
+                dev_chunks.append(up[:nb])
             else:
-                logits[sl] = np.asarray(up.astype(jnp.float16))[:nb].astype(
-                    np.float32
-                )
+                logits[sl] = np.asarray(up)[:nb].astype(np.float32)
             iou_all[sl] = np.asarray(iou)[:nb]
 
         passed = has_visible & (iou_all >= self.sam_iou_threshold)
@@ -515,26 +513,95 @@ class SamPt:
         Implements: single pass (no negatives), or positives-only pass ->
         all-points + mask-input pass (reference :782-807), then
         `iterative_refinement_iterations` box-refinement passes (:809-828).
+        The ENTIRE chain (up to 14 decoder passes) plus the final upscale is
+        one jitted program — one dispatch per chunk instead of one per pass
+        (dispatch latency is a first-order cost on remote-attached TPUs).
         Returns (low_res [B, 4g, 4g], iou [B]).
         """
+        chain = self._get_chain_fn(original_hw, upscale=False)
+        return chain(self.sam_predictor.params, emb, pts, lbl)
+
+    def _get_chain_fn(self, original_hw, upscale: bool):
+        if not hasattr(self, "_chain_fns"):
+            self._chain_fns = {}
+        key = (
+            tuple(original_hw),
+            upscale,
+            self.iterative_refinement_iterations,
+            self.negative_points_per_mask > 0,
+        )
+        if key not in self._chain_fns:
+            predictor = self.sam_predictor
+            use_chain = self.negative_points_per_mask > 0
+            refine_iters = self.iterative_refinement_iterations
+
+            def chain(params, emb, pts, lbl):
+                pts_model = predictor.scale_coords(pts, original_hw)
+                if not use_chain:
+                    masks, iou = predictor._decode(
+                        params, emb, pts_model, lbl, None, None
+                    )
+                    low, iou = masks[:, 0], iou[:, 0]
+                else:
+                    pos_lbl = jnp.where(lbl == 1, 1, -1)
+                    masks1, _ = predictor._decode(
+                        params, emb, pts_model, pos_lbl, None, None
+                    )
+                    mask_valid = (lbl == 1).any(axis=1)
+                    masks, iou = predictor._decode(
+                        params, emb, pts_model, lbl,
+                        masks1[:, 0, :, :, None], mask_valid,
+                    )
+                    low, iou = masks[:, 0], iou[:, 0]
+                for _ in range(refine_iters):
+                    low, iou = self._box_refine_impl(
+                        params, emb, pts_model, lbl, low, iou, original_hw
+                    )
+                if upscale:
+                    up = predictor.upscale_logits(low, original_hw)
+                    return up.astype(jnp.float16), iou
+                return low, iou
+
+            self._chain_fns[key] = jax.jit(chain)
+        return self._chain_fns[key]
+
+    def _box_refine_impl(self, params, emb, pts_model, lbl, low, iou,
+                         original_hw):
+        """One box-refinement pass on model-space prompts (traced inline)."""
         predictor = self.sam_predictor
-        use_chain = self.negative_points_per_mask > 0
+        g4 = low.shape[-1]
+        mask = low > 0  # [B, g4, g4]
+        area = mask.sum(axis=(1, 2))
+        active = area >= 2
 
-        if not use_chain:
-            low, iou, _ = predictor.predict(emb, pts, lbl, original_hw)
-            low, iou = low[:, 0], iou[:, 0]
-        else:
-            pos_lbl = jnp.where(lbl == 1, 1, -1)
-            low1, _, _ = predictor.predict(emb, pts, pos_lbl, original_hw)
-            mask_valid = (lbl == 1).any(axis=1)
-            low, iou, _ = predictor.predict(
-                emb, pts, lbl, original_hw,
-                mask_input=low1[:, 0, :, :, None], mask_valid=mask_valid,
-            )
-            low, iou = low[:, 0], iou[:, 0]
+        ys = jnp.arange(g4, dtype=jnp.float32)
+        xs = jnp.arange(g4, dtype=jnp.float32)
+        big = jnp.float32(1e9)
+        y_any = mask.any(axis=2)
+        x_any = mask.any(axis=1)
+        ymin = jnp.min(jnp.where(y_any, ys, big), axis=1)
+        ymax = jnp.max(jnp.where(y_any, ys, -big), axis=1)
+        xmin = jnp.min(jnp.where(x_any, xs, big), axis=1)
+        xmax = jnp.max(jnp.where(x_any, xs, -big), axis=1)
+        # low-res grid -> model-input coords directly (x4 per grid cell)
+        box = jnp.stack(
+            [xmin * 4.0, ymin * 4.0, xmax * 4.0, ymax * 4.0], axis=1
+        )
 
-        for _ in range(self.iterative_refinement_iterations):
-            low, iou = self._box_refine_step(emb, pts, lbl, low, iou, original_hw)
+        corner_pts = box.reshape(-1, 2, 2)
+        corner_lbl = jnp.where(
+            active[:, None], jnp.array([2, 3], jnp.int32)[None, :], -1
+        )
+        pts2 = jnp.concatenate([pts_model, corner_pts], axis=1)
+        lbl2 = jnp.concatenate([lbl, corner_lbl], axis=1)
+
+        masks, new_iou = predictor._decode(
+            params, emb, pts2, lbl2,
+            low[:, :, :, None], jnp.ones(low.shape[0], bool),
+        )
+        new_low, new_iou = masks[:, 0], new_iou[:, 0]
+        low = jnp.where(active[:, None, None], new_low, low)
+        iou = jnp.where(active, new_iou, iou)
         return low, iou
 
     def _box_refine_step(self, emb, pts, lbl, low, iou, original_hw):
