@@ -134,9 +134,12 @@ class Attention(nn.Module):
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
             )
 
-        # Large global blocks (e.g. the 4096-token SAM grid) go through the
-        # fused Pallas kernel: logits stay in VMEM and the rel-pos bias is
-        # consumed in factored form — no [N, N] HBM materialization.
+        # Large global blocks (the 4096-token SAM grid) go through the fused
+        # Pallas kernel: logits stay in VMEM and the rel-pos bias is consumed
+        # in factored form — no [N, N] HBM materialization. 196-token windows
+        # measured neutral-to-slightly-worse under the grouped kernel (the
+        # augmentation concats cost as much HBM traffic as the small logits
+        # they avoid), so they stay on the XLA einsum path.
         use_fused = self.use_rel_pos and h * w >= 1024
         if use_fused:
             from ...ops.flash_attention import fused_relpos_attention
@@ -179,6 +182,25 @@ def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[in
     return x, (hp, wp)
 
 
+def _window_pad_mask(
+    batch: int, hw: Tuple[int, int], padded_hw: Tuple[int, int], window: int
+) -> Optional[jnp.ndarray]:
+    """[B*nWin, win, win, 1] constant: 1 on real tokens, 0 on padding slots.
+
+    None when the grid divides evenly (no padding). Built in numpy at trace
+    time, so XLA constant-folds it and fuses the masking multiply.
+    """
+    h, w = hw
+    hp, wp = padded_hw
+    if (hp, wp) == (h, w):
+        return None
+    real = np.zeros((hp, wp), np.float32)
+    real[:h, :w] = 1.0
+    m = real.reshape(hp // window, window, wp // window, window)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, window, window, 1)
+    return jnp.asarray(np.tile(m, (batch, 1, 1, 1)))
+
+
 def window_unpartition(
     x: jnp.ndarray, window: int, padded_hw: Tuple[int, int], hw: Tuple[int, int]
 ) -> jnp.ndarray:
@@ -192,23 +214,43 @@ def window_unpartition(
 
 
 class Block(nn.Module):
-    """ViT-det block: (windowed) rel-pos attention + MLP, pre-norm residual."""
+    """ViT-det block: (windowed) rel-pos attention + MLP, pre-norm residual.
+
+    Two windowed modes:
+      - self-contained (`pre_windowed=False`): partition/unpartition inside
+        the block (the layout of the original SAM block);
+      - span mode (`pre_windowed=True`): `x` arrives ALREADY partitioned
+        ([B*nWin, win, win, C]) and stays partitioned. The caller keeps the
+        residual stream in window layout across a whole run of consecutive
+        windowed blocks, paying the partition transpose once per span instead
+        of twice per block. `pad_mask` zeroes the padding slots of the
+        attention input, which reproduces the original zero-padded windows
+        exactly (LayerNorm and the MLP are per-token, so real-token outputs
+        are bit-identical to the per-block layout).
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
     window_size: int = 0  # 0 = global attention
     input_size: Optional[Tuple[int, int]] = None
+    pre_windowed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, pad_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         c = x.shape[-1]
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
 
-        if self.window_size > 0:
+        if self.window_size > 0 and not self.pre_windowed:
             hw = (x.shape[1], x.shape[2])
             x, padded_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        elif self.window_size > 0:
+            if pad_mask is not None:
+                x = x * pad_mask.astype(x.dtype)
             attn_size = (self.window_size, self.window_size)
         else:
             attn_size = self.input_size
@@ -220,7 +262,7 @@ class Block(nn.Module):
             dtype=self.dtype,
         )(x)
 
-        if self.window_size > 0:
+        if self.window_size > 0 and not self.pre_windowed:
             x = window_unpartition(x, self.window_size, padded_hw, hw)
 
         x = shortcut + x
@@ -266,18 +308,52 @@ class ImageEncoderViT(nn.Module):
             )
             x = x + pos_embed.astype(x.dtype)
 
+        # Group consecutive windowed blocks into spans: the residual stream
+        # stays window-partitioned across each span (one partition transpose
+        # per span, not per block — the per-block transposes were ~25% of
+        # encoder device time). Padding slots are re-zeroed at each block's
+        # attention input, matching the original per-block zero padding.
         interm = None
-        for i in range(self.depth):
-            x = Block(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                window_size=0 if i in self.global_attn_indexes else self.window_size,
-                input_size=(grid, grid),
-                name=f"blocks_{i}",
-                dtype=self.dtype,
-            )(x)
-            if interm is None and i in self.global_attn_indexes:
-                interm = x
+        i = 0
+        while i < self.depth:
+            if i in self.global_attn_indexes:
+                x = Block(
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    window_size=0,
+                    input_size=(grid, grid),
+                    name=f"blocks_{i}",
+                    dtype=self.dtype,
+                )(x)
+                if interm is None:
+                    interm = x
+                i += 1
+                continue
+            span_end = i
+            while (
+                span_end < self.depth
+                and span_end not in self.global_attn_indexes
+            ):
+                span_end += 1
+            hw = (x.shape[1], x.shape[2])
+            x, padded_hw = window_partition(x, self.window_size)
+            pad_mask = _window_pad_mask(
+                x.shape[0] // ((padded_hw[0] // self.window_size)
+                              * (padded_hw[1] // self.window_size)),
+                hw, padded_hw, self.window_size,
+            )
+            for j in range(i, span_end):
+                x = Block(
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    window_size=self.window_size,
+                    input_size=(grid, grid),
+                    pre_windowed=True,
+                    name=f"blocks_{j}",
+                    dtype=self.dtype,
+                )(x, pad_mask)
+            x = window_unpartition(x, self.window_size, padded_hw, hw)
+            i = span_end
 
         # Neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d, all in NHWC.
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, name="neck_conv1",

@@ -125,7 +125,9 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
     import jax.numpy as jnp
 
     m, t, h, w = logits_dev.shape
-    gt_dev = jnp.asarray(gt_masks > 0.5)
+    # upload as uint8: bool host->device transfers take a slow per-element
+    # path on remote-attached runtimes (~50x slower measured); cast on device
+    gt_dev = jnp.asarray(np.asarray(gt_masks > 0.5, np.uint8)).astype(bool)
     ts_dev = jnp.asarray(np.asarray(gt_ts, np.int32))
 
     @functools.partial(jax.jit, static_argnums=(3,))
