@@ -120,6 +120,7 @@ class SamPt:
         self.sam_decode_chunk = sam_decode_chunk
         self.sam_encode_chunk = sam_encode_chunk
         self.rng = np.random.default_rng(seed)
+        self._chain_fns = {}  # jitted decode-chain programs, keyed by shape
 
     # ------------------------------------------------------------------
     # Entry point
@@ -522,8 +523,6 @@ class SamPt:
         return chain(self.sam_predictor.params, emb, pts, lbl)
 
     def _get_chain_fn(self, original_hw, upscale: bool):
-        if not hasattr(self, "_chain_fns"):
-            self._chain_fns = {}
         key = (
             tuple(original_hw),
             upscale,
