@@ -137,9 +137,17 @@ class SamPt:
             images = images.transpose(0, 2, 3, 1)  # accept NCHW input
         assert images.dtype == np.uint8, "Input images must be uint8 (0-255)"
         t, h, w, _ = images.shape
-        # upload the video ONCE; trackers and the SAM encoder share this copy
-        # (uint8 on device; casting/resizing happen on device)
-        self._images_dev = jnp.asarray(images)
+        # Upload the video ONCE; trackers and the SAM encoder share this copy
+        # (uint8 on device; casting/resizing happen on device). On the plain
+        # path the upload is chunked and each SAM encode chunk is dispatched
+        # immediately, so chunk i+1's host->device transfer rides under
+        # chunk i's encoder compute — the transfer is the second-largest
+        # pipeline cost after the encoder itself.
+        if self.use_point_reinit:
+            self._images_dev = jnp.asarray(images)
+            self._early_emb = None
+        else:
+            self._images_dev, self._early_emb = self._upload_and_encode(images)
 
         if video.get("query_masks") is not None:
             assert video.get("query_points") is None
@@ -261,11 +269,13 @@ class SamPt:
     # ------------------------------------------------------------------
     def _forward(self, images, query_points):
         dev = getattr(self, "_images_dev", None)
+        emb = getattr(self, "_early_emb", None)
         trajectories, visibilities = self._track_points(
             images, query_points, images_dev=dev
         )
         _, logits, scores_per_frame = self._apply_sam(
-            images, trajectories, visibilities, device_images=dev
+            images, trajectories, visibilities,
+            embeddings=emb, device_images=dev,
         )
         with np.errstate(invalid="ignore"):
             scores = scores_per_frame.mean(axis=0)
@@ -486,6 +496,39 @@ class SamPt:
         sums = np.where(has_visible, iou_all, 0.0).reshape(t, m).sum(axis=0)
         pred_scores = sums / np.where(counts != 0, counts, 1)
         return pred_scores, logits, scores_per_frame
+
+    def _upload_and_encode(self, images: np.ndarray):
+        """Chunked video upload interleaved with SAM encode dispatch.
+
+        Returns (device uint8 video [T, H, W, 3], embeddings [T, g, g, 256]).
+        Uploading chunk i+1 overlaps the device encoding chunk i, hiding most
+        of the transfer latency behind encoder compute.
+        """
+        t = images.shape[0]
+        ec = self.sam_encode_chunk
+        hw = (images.shape[1], images.shape[2])
+        dev_chunks, emb_chunks = [], []
+        for i in range(0, t, ec):
+            dev = jnp.asarray(images[i : i + ec])
+            dev_chunks.append(dev)
+            pad = ec - dev.shape[0]
+            chunk = dev
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+            emb = self.sam_predictor.encode_frames(chunk, hw)
+            emb_chunks.append(
+                jax.tree_util.tree_map(lambda a: a[: ec - pad], emb)
+            )
+        video = (
+            jnp.concatenate(dev_chunks, axis=0)
+            if len(dev_chunks) > 1 else dev_chunks[0]
+        )
+        emb = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *emb_chunks
+        )
+        return video, emb
 
     def _encode_all_frames(self, images) -> jnp.ndarray:
         """images: [T, H, W, 3] uint8 (numpy or already on device)."""
