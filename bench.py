@@ -71,7 +71,7 @@ def build_pipeline(n_frames, h, w, variant="vit_h"):
         iterative_refinement_iterations=12,
         sam_iou_threshold=0.7,
         sam_decode_chunk=48,
-        sam_encode_chunk=8,
+        sam_encode_chunk=4,
     )
 
 
