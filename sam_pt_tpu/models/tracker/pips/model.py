@@ -193,7 +193,13 @@ def sample_corr_pyramid(
         centers = coords / (2.0 ** lvl)
         patch = separable_neighborhood_sample(
             corr, centers[..., 0], centers[..., 1], d, d, zero_pad=True
-        )  # [S, N, K, K]
+        )  # [S, N, Ky, Kx]
+        # The reference flattens each window x-major: CorrBlock.sample builds
+        # delta = stack(meshgrid(dy, dx, 'ij')) and adds delta[..., 0] (the
+        # ROW index) to x (pips.py:376-385), so flat index (i, j) is the tap
+        # at (x + d[i], y + d[j]). The trained mixer weights consume that
+        # order, so transpose before flattening.
+        patch = jnp.swapaxes(patch, -1, -2)
         outs.append(patch.reshape(*patch.shape[:2], -1))
     return jnp.concatenate(outs, axis=-1)
 

@@ -43,8 +43,11 @@ def naive_torch_corr_sample(fmaps, targets, coords, num_levels, radius):
     for lvl, corr in enumerate(pyramid):
         hh, ww = corr.shape[-2:]
         centers = torch.from_numpy(coords) / (2 ** lvl)  # [S, N, 2]
-        cx = centers[..., 0][..., None, None] + dx
-        cy = centers[..., 1][..., None, None] + dy
+        # Reference CorrBlock.sample adds the ROW index offset to x and the
+        # column offset to y (pips.py:376-385) — replicate that x-major
+        # window flattening exactly.
+        cx = centers[..., 0][..., None, None] + dy
+        cy = centers[..., 1][..., None, None] + dx
         gx = 2 * cx / (ww - 1) - 1
         gy = 2 * cy / (hh - 1) - 1
         grid = torch.stack([gx, gy], dim=-1).reshape(s * n, 2 * r + 1, 2 * r + 1, 2)
