@@ -124,7 +124,11 @@ def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int):
         centers = flat / (2.0 ** lvl)
         patch = separable_neighborhood_sample(
             corr, centers[..., 0], centers[..., 1], d, d, zero_pad=True
-        )  # [B, hw, K, K]
+        )  # [B, hw, Ky, Kx]
+        # The reference flattens lookup windows x-major: CorrBlock.__call__
+        # adds meshgrid row offsets to x (raft_core/corr.py:40-46), and the
+        # trained motion-encoder weights consume that order.
+        patch = jnp.swapaxes(patch, -1, -2)
         outs.append(patch.reshape(b, h, w, -1))
     return jnp.concatenate(outs, axis=-1)
 
