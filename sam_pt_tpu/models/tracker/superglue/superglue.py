@@ -37,15 +37,19 @@ class BNDense(nn.Module):
 
 
 class KeypointEncoder(nn.Module):
+    """magicleap MLP([3] + layers + [descriptor_dim]): BN+ReLU after every
+    hidden conv, plain conv out (superglue.py:54-86)."""
+
     layers: Sequence[int] = (32, 64, 128, 256)
+    out_dim: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, kpts01, scores):  # [K, 2] normalized, [K]
         x = jnp.concatenate([kpts01, scores[:, None]], axis=-1)
-        for i, ch in enumerate(self.layers[:-1]):
+        for i, ch in enumerate(self.layers):
             x = BNDense(ch, name=f"layer_{i}", dtype=self.dtype)(x)
-        return nn.Dense(self.layers[-1], name="out", dtype=self.dtype)(x)
+        return nn.Dense(self.out_dim, name="out", dtype=self.dtype)(x)
 
 
 class MultiHeadAttention(nn.Module):

@@ -97,11 +97,13 @@ class SuperPoint(nn.Module):
         desc_map = desc_map / jnp.maximum(
             jnp.linalg.norm(desc_map, axis=-1, keepdims=True), 1e-12
         )
-        # sample at keypoints: magicleap convention maps pixel coords into
-        # the /8 grid with a half-cell (s/2 - 0.5) offset
+        # sample at keypoints: magicleap sample_descriptors maps pixel coords
+        # with a half-cell offset then an align_corners=True normalization
+        # over the PADDED extent (superpoint.py:84-93): grid cell
+        #   g = (k - s/2 + 0.5) * (n8 - 1) / (n8*s - s/2 - 0.5)
         s = 8.0
-        gx = (keypoints[:, 0] - s / 2 + 0.5) / s
-        gy = (keypoints[:, 1] - s / 2 + 0.5) / s
+        gx = (keypoints[:, 0] - s / 2 + 0.5) * (w8 - 1) / (w8 * s - s / 2 - 0.5)
+        gy = (keypoints[:, 1] - s / 2 + 0.5) * (h8 - 1) / (h8 * s - s / 2 - 0.5)
         desc = bilinear_sample(desc_map, gx, gy, pad_mode="clamp")
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12

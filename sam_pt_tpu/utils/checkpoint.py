@@ -787,11 +787,12 @@ def convert_superglue_state_dict(sd: Dict[str, Any],
         put(f"{dst}/kernel", conv1d_w(sd[f"{src}.weight"]))
         put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
 
-    # keypoint encoder: MLP([3, 32, 64, 128, 256])
-    for li, conv_idx in enumerate((0, 3, 6)):
+    # keypoint encoder: MLP([3, 32, 64, 128, 256, 256]) — BN+ReLU after each
+    # of the four hidden convs (encoder indices 0,3,6,9), plain conv out (12)
+    for li, conv_idx in enumerate((0, 3, 6, 9)):
         c1d(f"kenc.encoder.{conv_idx}", f"kenc/layer_{li}/lin")
         bn(f"kenc.encoder.{conv_idx + 1}", f"kenc/layer_{li}/bn")
-    c1d("kenc.encoder.9", "kenc/out")
+    c1d("kenc.encoder.12", "kenc/out")
 
     def attn_prop(src, dst):
         for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
