@@ -197,22 +197,27 @@ class PIPSMLPMixer(nn.Module):
 
 
 def convert_coords(coords, src_wh, dst_wh):
-    """(coords + .5) * ratio - .5 per axis (reference transforms.py:25-70)."""
+    """Plain size-ratio scaling per axis. Despite its docstring, the
+    reference's transforms.convert_grid_coordinates does NOT apply the
+    +0.5/-0.5 corner alignment — it multiplies by output/input directly
+    (reference tapir/utils/transforms.py:77-80)."""
     ratio = jnp.array(
         [dst_wh[0] / src_wh[0], dst_wh[1] / src_wh[1]], jnp.float32
     )
-    return (coords + 0.5) * ratio - 0.5
+    return coords * ratio
 
 
 def soft_argmax_heatmap(heatmap: jnp.ndarray, threshold: float = 5.0):
-    """Truncated soft-argmax over [H, W] probabilities -> (x, y) grid coords."""
+    """Truncated soft-argmax over [H, W] probabilities -> (x, y) CELL-CENTER
+    grid coords (index + 0.5, reference model_utils.py:119-139)."""
     h, w = heatmap.shape
-    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) + 0.5,
+                          jnp.arange(w, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
     flat = heatmap.reshape(-1)
     am = jnp.argmax(flat)
-    ay = (am // w).astype(jnp.float32)
-    ax = (am % w).astype(jnp.float32)
+    ay = (am // w).astype(jnp.float32) + 0.5
+    ax = (am % w).astype(jnp.float32) + 0.5
     dist2 = (gy - ay) ** 2 + (gx - ax) ** 2
     valid = (dist2 < threshold ** 2).astype(jnp.float32)
     weights = heatmap * valid
@@ -271,11 +276,14 @@ class TAPIR(nn.Module):
         t_idx = jnp.round(query_points[:, 0]).astype(jnp.int32)
 
         def sample_grid(grid):
+            # raster -> grid index space: plain ratio scale, then the -0.5
+            # that reference model_utils.interp applies (raster coords name
+            # pixel corners; index space names centers)
             gh, gw = grid.shape[1], grid.shape[2]
             yx = jnp.stack(
                 [
-                    (query_points[:, 1] + 0.5) * (gh / TRAIN_SIZE[0]) - 0.5,
-                    (query_points[:, 2] + 0.5) * (gw / TRAIN_SIZE[1]) - 0.5,
+                    query_points[:, 1] * (gh / TRAIN_SIZE[0]) - 0.5,
+                    query_points[:, 2] * (gw / TRAIN_SIZE[1]) - 0.5,
                 ],
                 axis=-1,
             )
@@ -344,9 +352,11 @@ class TAPIR(nn.Module):
             queries.append(queries[-1])
         for pyridx, (query, grid) in enumerate(zip(queries, pyramid)):
             gh, gw = grid.shape[1], grid.shape[2]
+            # raster -> grid: ratio scale, then the -0.5 interp offset
+            # (reference refine_pips :444-447 + model_utils.interp :91)
             coords = convert_coords(
                 pos_guess, (TRAIN_SIZE[1], TRAIN_SIZE[0]), (gw, gh)
-            )  # [N, T, 2] xy grid coords
+            ) - 0.5  # [N, T, 2] xy grid index coords
             if last_iter is not None:
                 if pyridx == 0:
                     q = last_iter[..., : self.highres_dim]  # [N, T, Ch]

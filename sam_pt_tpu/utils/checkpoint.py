@@ -833,7 +833,7 @@ def _map_tapir_mixer(parts):
     if not parts:
         return None
     head = parts[0]
-    base = "pips_mlp_mixer"
+    base = "pips_mixer"
     if head == "linear":
         return f"{base}/input_proj"
     if head == "linear_1":

@@ -56,8 +56,28 @@ def install_reference_stubs() -> None:
             setattr(sys.modules[parent], child, mod)
 
 
+def _install_config_stubs() -> None:
+    """The tapir/tapnet config modules need jaxline (absent here); the model
+    modules only use their TRAIN_SIZE constant (tapir_config.py:23)."""
+    for pkg in ("tapir", "tapnet"):
+        name = f"sam_pt.point_tracker.{pkg}.configs.{pkg}_config"
+        if name in sys.modules:
+            continue
+        mod = types.ModuleType(name)
+        mod.TRAIN_SIZE = (24, 256, 256, 3)
+        sys.modules[name] = mod
+        parent = f"sam_pt.point_tracker.{pkg}.configs"
+        setattr(sys.modules[parent], f"{pkg}_config", mod)
+
+
 def load_ref(name: str):
     """Import a leaf module from the reference tree, e.g.
     load_ref("sam_pt.point_tracker.pips.pips")."""
     install_reference_stubs()
+    _install_config_stubs()
+    # the reference targets an older jax with the jax.tree_map alias
+    import jax
+
+    if not hasattr(jax, "tree_map"):
+        jax.tree_map = jax.tree_util.tree_map
     return importlib.import_module(name)

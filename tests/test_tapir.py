@@ -26,7 +26,8 @@ class TestComponents:
         hm = np.zeros((9, 9), np.float32)
         hm[3, 5] = 1.0
         xy = np.asarray(soft_argmax_heatmap(jnp.asarray(hm)))
-        np.testing.assert_allclose(xy, [5.0, 3.0], atol=1e-5)
+        # cell-center convention: index + 0.5 (reference model_utils.py:123)
+        np.testing.assert_allclose(xy, [5.5, 3.5], atol=1e-5)
 
     def test_convert_coords_roundtrip(self):
         c = jnp.array([[10.0, 20.0]])
