@@ -3,10 +3,15 @@
 Re-implements the reference's in-repo JAX/Haiku TAP-Net
 (sam_pt/point_tracker/tapnet/tapnet_model.py + models/tsm_resnet.py):
 
-  - TSM-ResNet-50-v2 video backbone: bottleneck pre-activation blocks with a
-    Temporal Shift Module in the first two stages (channel_shift_fraction
-    [.125, .125, 0, 0]); final endpoint 'tsm_resnet_unit_2' at output stride
-    8 (1024 channels), L2-normalized.
+  - TSM-ResNet-18-v2 video backbone (the reference default depth=18 with
+    use_bottleneck=False, tsm_resnet.py:322-341): BASIC pre-activation
+    blocks (3x3 strided conv_0 + 3x3 conv_2), unit output channels
+    (256,512,1024)//4 = (64,128,256), 2 blocks per unit; a Temporal Shift
+    Module on the pre-activation in the first two units
+    (channel_shift_fraction [.125, .125, 0, 0]); final endpoint
+    'tsm_resnet_unit_2' at output stride 8 (strides 1/2/1 after the /4
+    stem; the dilation rates of output_stride=8 are unused by basic
+    blocks), 256 channels, L2-normalized.
   - A single cost volume between query features and the whole feature grid
     (multi-head split), conv regression head -> spatially softmaxed heatmap
     (temperature 10) -> truncated soft-argmax points, and an occlusion head
@@ -36,7 +41,11 @@ TRAIN_SIZE = (256, 256)
 
 
 def temporal_shift(x: jnp.ndarray, fraction: float) -> jnp.ndarray:
-    """TSM: shift `fraction` of channels one frame forward and one backward.
+    """TSM with the reference's ROLLED channel layout (tsm_utils.py:116-148):
+    output = concat([x[t+1] last n_shift ch, x[t] middle ch,
+                     x[t-1] first n_shift ch]) — i.e. output channel i draws
+    from a DIFFERENT input channel range, a permutation the trained conv
+    weights bake in.
 
     x: [T, H, W, C] (single video).
     """
@@ -44,20 +53,22 @@ def temporal_shift(x: jnp.ndarray, fraction: float) -> jnp.ndarray:
         return x
     c = x.shape[-1]
     n_shift = int(c * fraction)
+    bwd = jnp.concatenate(
+        [x[1:, ..., c - n_shift:], jnp.zeros_like(x[:1, ..., c - n_shift:])],
+        axis=0,
+    )
+    mid = x[..., n_shift : c - n_shift]
     fwd = jnp.concatenate(
         [jnp.zeros_like(x[:1, ..., :n_shift]), x[:-1, ..., :n_shift]], axis=0
     )
-    bwd = jnp.concatenate(
-        [x[1:, ..., n_shift : 2 * n_shift],
-         jnp.zeros_like(x[:1, ..., n_shift : 2 * n_shift])],
-        axis=0,
-    )
-    rest = x[..., 2 * n_shift :]
-    return jnp.concatenate([fwd, bwd, rest], axis=-1)
+    return jnp.concatenate([bwd, mid, fwd], axis=-1)
 
 
-class TSMBottleneckV2(nn.Module):
-    """Pre-activation bottleneck block with optional temporal shift."""
+class TSMBasicBlockV2(nn.Module):
+    """Pre-activation BASIC block with optional temporal shift
+    (tsm_resnet.py:44-176, use_bottleneck=False): BN+relu preact; projection
+    shortcut from the preact (identity from the raw input otherwise); TSM on
+    the preact; conv_0 3x3 (carries the stride); BN+relu; conv_2 3x3."""
 
     output_channels: int
     stride: int = 1
@@ -67,35 +78,36 @@ class TSMBottleneckV2(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [T, H, W, C]
-        bottleneck = self.output_channels // 4
         preact = InferenceBatchNorm(x.shape[-1], name="bn_pre")(x)
         preact = nn.relu(preact)
 
-        shortcut = x
         if self.use_projection:
             shortcut = nn.Conv(self.output_channels, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, name="shortcut_conv",
                                dtype=self.dtype)(preact)
+        else:
+            shortcut = x
 
         y = temporal_shift(preact, self.shift_fraction)
-        y = nn.Conv(bottleneck, (1, 1), use_bias=False, name="conv_0",
-                    dtype=self.dtype)(y)
-        y = nn.relu(InferenceBatchNorm(bottleneck, name="bn_0")(y))
-        y = nn.Conv(bottleneck, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, name="conv_1",
-                    dtype=self.dtype)(y)
-        y = nn.relu(InferenceBatchNorm(bottleneck, name="bn_1")(y))
-        y = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    name="conv_2", dtype=self.dtype)(y)
+        y = nn.Conv(self.output_channels, (3, 3),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, name="conv_0", dtype=self.dtype)(y)
+        y = nn.relu(InferenceBatchNorm(self.output_channels, name="bn_1")(y))
+        y = nn.Conv(self.output_channels, (3, 3), padding="SAME",
+                    use_bias=False, name="conv_2", dtype=self.dtype)(y)
         return y + shortcut
 
 
 class TSMResNetV2(nn.Module):
-    """[T, H, W, 3] -> unit-2 feature grid [T, H/8, W/8, 1024]."""
+    """[T, H, W, 3] -> unit-2 feature grid [T, H/8, W/8, 256].
 
-    blocks_per_unit: Sequence[int] = (3, 4, 6)
-    channels_per_unit: Sequence[int] = (256, 512, 1024)
+    Reference defaults: depth 18 (basic blocks, 2 per unit), unit channels
+    (256,512,1024)//4, output_stride 8 -> unit strides (1,2,1) after the /4
+    stem (tsm_resnet.py:302-341, 402-407)."""
+
+    blocks_per_unit: Sequence[int] = (2, 2, 2)
+    channels_per_unit: Sequence[int] = (64, 128, 256)
     strides_per_unit: Sequence[int] = (1, 2, 1)  # output stride 8 overall
     shift_fractions: Sequence[float] = (0.125, 0.125, 0.0)
     dtype: Any = jnp.float32
@@ -110,7 +122,7 @@ class TSMResNetV2(nn.Module):
                 self.strides_per_unit, self.shift_fractions)
         ):
             for bi in range(nb):
-                x = TSMBottleneckV2(
+                x = TSMBasicBlockV2(
                     output_channels=ch,
                     stride=st if bi == 0 else 1,
                     use_projection=(bi == 0),
@@ -155,8 +167,10 @@ class TAPNet(nn.Module):
         n = query_points.shape[0]
 
         t_idx = jnp.round(query_points[:, 0]).astype(jnp.int32)
-        gy = (query_points[:, 1] + 0.5) * (gh / TRAIN_SIZE[0]) - 0.5
-        gx = (query_points[:, 2] + 0.5) * (gw / TRAIN_SIZE[1]) - 0.5
+        # raster -> grid index space: plain ratio scale then the -0.5 the
+        # reference interp applies (tapnet_model.py:33-60, transforms.py:77-80)
+        gy = query_points[:, 1] * (gh / TRAIN_SIZE[0]) - 0.5
+        gx = query_points[:, 2] * (gw / TRAIN_SIZE[1]) - 0.5
         q_feats = jax.vmap(
             lambda fr, x, y: bilinear_sample(fr, x, y, pad_mode="clamp")
         )(grid[t_idx], gx, gy)  # [N, C]

@@ -857,12 +857,17 @@ def _map_tapir_mixer(parts):
 
 
 def convert_tapnet_haiku_params(raw: Dict[str, Any]) -> Dict[str, Any]:
-    """Haiku TapNet checkpoint -> flax tree (best effort; validated
-    structurally against the model template at load time).
+    """Haiku TapNet checkpoint -> flax tree.
 
-    TapNet checkpoints carry BatchNorm moving averages in the haiku `state`
-    dict ('.../batchnorm/~/mean_ema' etc.) alongside `params`; both are
-    folded into the InferenceBatchNorm parameters here.
+    Haiku namespace (verified against a random-init reference transform,
+    tests/test_parity_tapnet.py):
+      tap_net/~/cost_volume_*               Conv3D [1,kh,kw] heads / Linears
+      tap_net/~/tsm_resnet_video/tsm_resnet_stem
+      tap_net/~/tsm_resnet_video/tsm_resnet_unit_{u}/block_{b}/
+        {conv_0, conv_2, shortcut_conv, batch_norm, batch_norm_1}
+    BatchNorm moving averages live in the haiku `state` dict
+    ('.../batch_norm/~/mean_ema' {counter, hidden, average}); the debiased
+    'average' is folded into the InferenceBatchNorm mean/var parameters.
     """
     hk_params = raw.get("params", raw)
     hk_state = raw.get("state", {})
@@ -878,20 +883,25 @@ def convert_tapnet_haiku_params(raw: Dict[str, Any]) -> Dict[str, Any]:
     import re as _re
 
     def map_resnet(sub):
-        if "stem" in sub or sub.endswith("initial_conv"):
+        if "tsm_resnet_stem" in sub:
             return "tsm_resnet/initial_conv"
-        m = _re.search(r"tsm_resnet_unit_(\d)/.*?block_(\d+)/?(.*)", sub)
+        m = _re.search(r"tsm_resnet_unit_(\d+)/block_(\d+)/(.*)", sub)
         if not m:
             return None
         ui, bi, rest = m.group(1), m.group(2), m.group(3).strip("/")
         base = f"tsm_resnet/unit{ui}_block{bi}"
         rest_map = {
-            "conv_0": "conv_0", "conv_1": "conv_1", "conv_2": "conv_2",
+            "conv_0": "conv_0", "conv_2": "conv_2",
             "shortcut_conv": "shortcut_conv",
-            "batchnorm": "bn_pre", "batchnorm_0": "bn_0", "batchnorm_1": "bn_1",
+            "batch_norm": "bn_pre", "batch_norm_1": "bn_1",
         }
         return f"{base}/{rest_map[rest]}" if rest in rest_map else None
 
+    conv3d_heads = {
+        "cost_volume_regression_1",
+        "cost_volume_regression_2",
+        "cost_volume_occlusion_1",
+    }
     head_map = {
         "cost_volume_regression_1": "cost_volume_regression_1",
         "cost_volume_regression_2": "cost_volume_regression_2",
@@ -901,27 +911,34 @@ def convert_tapnet_haiku_params(raw: Dict[str, Any]) -> Dict[str, Any]:
     }
 
     for key, leaf in hk_params.items():
-        sub = key.replace("~/", "").replace("tapnet/", "")
-        mapped = map_resnet(sub) if "tsm_resnet" in sub else head_map.get(
-            sub.split("/")[-1]
-        )
+        sub = key.replace("~/", "").replace("tap_net/", "")
+        sub = sub.replace("tsm_resnet_video/", "")
+        tail = sub.split("/")[-1]
+        mapped = map_resnet(sub) if "tsm_resnet" in sub else head_map.get(tail)
         if mapped is None:
             continue
         for wname, w in leaf.items():
+            w = np.asarray(w)
+            if wname == "w" and tail in conv3d_heads:
+                w = w[0]  # Conv3D [1, kh, kw, in, out] -> 2D [kh, kw, in, out]
+            if wname in ("scale", "offset"):
+                w = w.reshape(-1)  # BN affine stored as [1, 1, 1, C]
             out_name = {"w": "kernel", "b": "bias",
                         "scale": "scale", "offset": "bias"}.get(wname, wname)
-            put(f"{mapped}/{out_name}", np.asarray(w))
+            put(f"{mapped}/{out_name}", w)
 
     for key, leaf in hk_state.items():
-        sub = key.replace("~/", "").replace("tapnet/", "")
+        sub = key.replace("~/", "").replace("tap_net/", "")
+        sub = sub.replace("tsm_resnet_video/", "")
+        stat = "mean" if "mean_ema" in sub else (
+            "var" if "var_ema" in sub else None)
+        if stat is None:
+            continue
         mapped = map_resnet(sub.replace("/mean_ema", "").replace("/var_ema", ""))
         if mapped is None:
             continue
-        for wname, w in leaf.items():
-            if "mean" in key:
-                put(f"{mapped}/mean", np.asarray(w))
-            elif "var" in key:
-                put(f"{mapped}/var", np.asarray(w))
+        avg = leaf.get("average", leaf) if isinstance(leaf, dict) else leaf
+        put(f"{mapped}/{stat}", np.asarray(avg).reshape(-1))
     return {"params": p}
 
 

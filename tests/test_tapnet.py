@@ -35,14 +35,15 @@ class TestTSM:
     def test_temporal_shift(self):
         x = jnp.arange(3 * 1 * 1 * 8, dtype=jnp.float32).reshape(3, 1, 1, 8)
         y = np.asarray(temporal_shift(x, 0.125))
-        # first channel shifted forward: frame 0 gets zeros, frame t gets t-1
-        assert y[0, 0, 0, 0] == 0.0
-        assert y[1, 0, 0, 0] == float(x[0, 0, 0, 0])
-        # second channel shifted backward: frame t gets t+1, last gets zeros
-        assert y[0, 0, 0, 1] == float(x[1, 0, 0, 1])
-        assert y[2, 0, 0, 1] == 0.0
-        # remaining channels unchanged
-        np.testing.assert_allclose(y[:, :, :, 2:], np.asarray(x[:, :, :, 2:]))
+        # The reference's ROLLED layout (tsm_utils.py temporal_shift_gpu):
+        # out ch 0 = next frame's LAST channel; last gets zeros
+        assert y[0, 0, 0, 0] == float(x[1, 0, 0, 7])
+        assert y[2, 0, 0, 0] == 0.0
+        # out chs 1..6 = same frame's channels 1..6 (unshifted middle)
+        np.testing.assert_allclose(y[:, :, :, 1:7], np.asarray(x[:, :, :, 1:7]))
+        # out ch 7 = previous frame's FIRST channel; frame 0 gets zeros
+        assert y[0, 0, 0, 7] == 0.0
+        assert y[1, 0, 0, 7] == float(x[0, 0, 0, 0])
 
     def test_backbone_stride8(self):
         net = TSMResNetV2(blocks_per_unit=(1, 1, 1),
