@@ -9,7 +9,7 @@ per-frame-per-mask python loop (sam_pt/modeling/sam_pt.py:848-858).
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ class DownsampledAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, kv_valid=None):
         internal = self.embed_dim // self.downsample_rate
         head_dim = internal // self.num_heads
         qp = nn.Dense(internal, name="q_proj", dtype=self.dtype)(q)
@@ -42,6 +42,11 @@ class DownsampledAttention(nn.Module):
 
         qh, kh, vh = split(qp), split(kp), split(vp)
         logits = (qh @ jnp.swapaxes(kh, -1, -2)) / (head_dim ** 0.5)
+        if kv_valid is not None:
+            # mask padded prompt slots out of the softmax so the fixed-shape
+            # batched layout is numerically identical to the reference's
+            # visible-points-plus-one-pad prompts
+            logits = jnp.where(kv_valid[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = attn @ vh
         b, h, n, d = out.shape
@@ -70,17 +75,17 @@ class TwoWayAttentionBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, queries, keys, query_pe, key_pe):
-        # 1. Self-attention on the tokens.
+    def __call__(self, queries, keys, query_pe, key_pe, token_valid=None):
+        # 1. Self-attention on the tokens (invalid pad slots masked as keys).
         if self.skip_first_layer_pe:
             queries = DownsampledAttention(
                 self.embed_dim, self.num_heads, 1, name="self_attn",
-                dtype=self.dtype)(queries, queries, queries)
+                dtype=self.dtype)(queries, queries, queries, token_valid)
         else:
             q = queries + query_pe
             attn_out = DownsampledAttention(
                 self.embed_dim, self.num_heads, 1, name="self_attn",
-                dtype=self.dtype)(q, q, queries)
+                dtype=self.dtype)(q, q, queries, token_valid)
             queries = queries + attn_out
         queries = nn.LayerNorm(name="norm1", dtype=self.dtype)(queries)
 
@@ -98,12 +103,13 @@ class TwoWayAttentionBlock(nn.Module):
                                      dtype=self.dtype)(queries)
         queries = nn.LayerNorm(name="norm3", dtype=self.dtype)(queries)
 
-        # 4. Cross-attention: image attends to the tokens.
+        # 4. Cross-attention: image attends to the tokens (pad slots masked).
         q = queries + query_pe
         k = keys + key_pe
         attn_out = DownsampledAttention(
             self.embed_dim, self.num_heads, self.attention_downsample_rate,
-            name="cross_attn_image_to_token", dtype=self.dtype)(k, q, queries)
+            name="cross_attn_image_to_token", dtype=self.dtype)(
+                k, q, queries, token_valid)
         keys = keys + attn_out
         keys = nn.LayerNorm(name="norm4", dtype=self.dtype)(keys)
         return queries, keys
@@ -118,8 +124,10 @@ class TwoWayTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embedding, image_pe, point_embedding):
-        """image_embedding/image_pe: [B, H, W, C]; point_embedding: [B, T, C]."""
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 token_valid=None):
+        """image_embedding/image_pe: [B, H, W, C]; point_embedding: [B, T, C];
+        token_valid: [B, T] bool or None (True = token participates as a key)."""
         b, h, w, c = image_embedding.shape
         keys = image_embedding.reshape(b, h * w, c)
         key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, c), keys.shape)
@@ -134,7 +142,7 @@ class TwoWayTransformer(nn.Module):
                 skip_first_layer_pe=(i == 0),
                 name=f"layers_{i}",
                 dtype=self.dtype,
-            )(queries, keys, point_embedding, key_pe)
+            )(queries, keys, point_embedding, key_pe, token_valid)
 
         q = queries + point_embedding
         k = keys + key_pe
@@ -181,6 +189,7 @@ class MaskDecoder(nn.Module):
         image_pe: jnp.ndarray,          # [1, H, W, C]
         sparse_prompt: jnp.ndarray,     # [B, N, C]
         dense_prompt: jnp.ndarray,      # [B, H, W, C]
+        prompt_valid: Optional[jnp.ndarray] = None,  # [B, N] bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (mask logits [B, num_tokens, 4H, 4W], iou_pred [B, num_tokens]).
 
@@ -200,12 +209,21 @@ class MaskDecoder(nn.Module):
             (b, 1 + num_mask_tokens, c),
         ).astype(sparse_prompt.dtype)
         tokens = jnp.concatenate([output_tokens, sparse_prompt], axis=1)
+        token_valid = None
+        if prompt_valid is not None:
+            token_valid = jnp.concatenate(
+                [
+                    jnp.ones((b, 1 + num_mask_tokens), bool),
+                    prompt_valid,
+                ],
+                axis=1,
+            )
 
         src = image_embeddings + dense_prompt
 
         hs, src_out = TwoWayTransformer(
             embed_dim=c, name="transformer", dtype=self.dtype
-        )(src, image_pe, tokens)
+        )(src, image_pe, tokens, token_valid)
 
         iou_token_out = hs[:, 0, :]
         mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens, :]

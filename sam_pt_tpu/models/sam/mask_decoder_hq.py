@@ -36,6 +36,7 @@ class MaskDecoderHQ(nn.Module):
         sparse_prompt: jnp.ndarray,      # [B, N, C]
         dense_prompt: jnp.ndarray,       # [B, H, W, C]
         interm_embeddings: jnp.ndarray,  # [B, H, W, vit_dim] early ViT feats
+        prompt_valid=None,               # [B, N] bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (mask logits [B, 1 + num_multimask + 1, 4H, 4W], iou [B, ...]).
 
@@ -58,6 +59,12 @@ class MaskDecoderHQ(nn.Module):
             (b, 1 + num_mask_tokens, c),
         ).astype(sparse_prompt.dtype)
         tokens = jnp.concatenate([output_tokens, sparse_prompt], axis=1)
+        token_valid = None
+        if prompt_valid is not None:
+            token_valid = jnp.concatenate(
+                [jnp.ones((b, 1 + num_mask_tokens), bool), prompt_valid],
+                axis=1,
+            )
 
         # high-res HQ features: upscaled image embedding + compressed ViT feats
         def embedding_encoder(x):
@@ -85,7 +92,7 @@ class MaskDecoderHQ(nn.Module):
         src = image_embeddings + dense_prompt
         hs, src_out = TwoWayTransformer(
             embed_dim=c, name="transformer", dtype=self.dtype
-        )(src, image_pe, tokens)
+        )(src, image_pe, tokens, token_valid)
 
         iou_token_out = hs[:, 0, :]
         mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens, :]

@@ -113,7 +113,25 @@ class Sam(nn.Module):
 
         Returns (low_res_logits [B, T, 4g, 4g], iou_pred [B, T]) where
         T = 4 mask tokens; callers slice token 0 (single) or 1:4 (multi).
+
+        Pad handling: the reference feeds SAM only the visible points plus
+        exactly ONE not-a-point pad (segment_anything's box-pad). Our fixed
+        padded layout reproduces that numerically by (a) appending one
+        always-pad slot and (b) masking every pad slot except the first out
+        of the decoder's token attention (all pad slots share the identical
+        not_a_point embedding, so which one stays active is immaterial).
         """
+        b = points.shape[0]
+        points = jnp.concatenate(
+            [points, jnp.zeros((b, 1, 2), points.dtype)], axis=1
+        )
+        labels = jnp.concatenate(
+            [labels, jnp.full((b, 1), -1, labels.dtype)], axis=1
+        )
+        is_pad = labels == -1
+        first_pad = is_pad & (jnp.cumsum(is_pad.astype(jnp.int32), axis=1) == 1)
+        prompt_valid = ~is_pad | first_pad
+
         sparse, dense = self.prompt_encoder(points, labels, mask_input, mask_valid)
         image_pe = self.prompt_encoder.get_dense_pe()
         if self.use_hq:
@@ -127,6 +145,7 @@ class Sam(nn.Module):
                 sparse.astype(self.dtype),
                 dense.astype(self.dtype),
                 interm,
+                prompt_valid,
             )
             masks = masks.astype(jnp.float32)
             iou_pred = iou_pred.astype(jnp.float32)
@@ -144,6 +163,7 @@ class Sam(nn.Module):
             image_pe.astype(self.dtype),
             sparse.astype(self.dtype),
             dense.astype(self.dtype),
+            prompt_valid,
         )
         return masks.astype(jnp.float32), iou_pred.astype(jnp.float32)
 

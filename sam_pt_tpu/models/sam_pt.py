@@ -53,7 +53,10 @@ def _emb_index(embeddings, idx):
 @functools.partial(jax.jit, static_argnums=(3,))
 def _patch_similarities_jit(images, flat_traj, qp, patch_size):
     """[T, H, W, 3] uint8, [T, N, 2], [N, 3] -> similarities [T, N]."""
-    lab = rgb_to_lab(images)
+    # The reference flips channels to BGR before rgb2lab
+    # (sam_pt.py:645 rgbs[:, [2, 1, 0]]) — a quirk, but patch similarities
+    # and the PATCH_NON_SIMILAR decisions must match it.
+    lab = rgb_to_lab(images[..., ::-1])
     # patches around every point's trajectory position, every frame
     tp = jax.vmap(lambda im, pts: patch_sample(im, pts, patch_size))(
         lab, flat_traj
@@ -450,7 +453,13 @@ class SamPt:
         lbl_flat = labels.reshape(b, n_prompt)
         emb_flat = np.repeat(np.arange(t), m)  # embedding index per pair
 
-        has_visible = (lbl_flat == 1).any(axis=1)
+        # A pair is decoded (and its IoU recorded) whenever ANY prompt point
+        # is visible — positive or negative, own or other-object. The
+        # reference only returns an empty mask when the visible point set is
+        # completely empty (sam_pt.py:765-767 "Mask is empty if all points
+        # are invisible"), so gating on positives alone would blank frames
+        # the reference still scores.
+        has_visible = (lbl_flat != -1).any(axis=1)
 
         # 3. Chunked batched decode with chaining + refinement. The last chunk
         # is padded to the full chunk size so every call shares one compiled
@@ -862,8 +871,11 @@ class SamPt:
                 if np.isnan(vals).all():
                     out[i] = 0
                     continue
-                med = np.nanmedian(vals)
-                # torch nanmedian returns the lower median element's index
+                # torch.nanmedian returns the LOWER median element (and its
+                # index) for even counts, unlike np.nanmedian which averages
+                # the two middle values — pick the lower median directly.
+                finite_vals = np.sort(vals[~np.isnan(vals)])
+                med = finite_vals[(finite_vals.size - 1) // 2]
                 finite = np.where(np.isnan(vals), np.inf, np.abs(vals - med))
                 out[i] = int(finite.argmin())
             return out

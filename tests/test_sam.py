@@ -185,3 +185,48 @@ class TestSamEndToEnd:
         masks, iou = model.apply(params, imgs, pts, lbl)
         assert masks.shape == (1, 4, 16, 16)
         assert iou.shape == (1, 4)
+
+
+class TestPadTokenMasking:
+    """The fixed padded prompt layout must be numerically identical to the
+    reference's visible-points-plus-one-pad prompts (segment_anything
+    appends exactly one not-a-point pad when no box is given)."""
+
+    def test_padded_equals_visible_plus_one_pad(self, rng):
+        from sam_pt_tpu.models.sam.sam_model import Sam
+        from sam_pt_tpu.utils.testing import build_tiny_sam
+
+        model, params = build_tiny_sam(64)
+        emb = model.apply(
+            params,
+            jnp.asarray(rng.random((1, 64, 64, 3)) * 255, jnp.float32),
+            method=Sam.encode_images,
+        )
+
+        pts = rng.uniform(5, 59, size=(1, 3, 2)).astype(np.float32)
+        lbl = np.array([[1, 1, 0]], np.int32)
+
+        # visible-only layout (decode_masks itself appends the one pad)
+        m_ref, iou_ref = model.apply(
+            params, emb, jnp.asarray(pts), jnp.asarray(lbl),
+            method=Sam.decode_masks,
+        )
+
+        # heavily padded layout: same 3 visible points + 5 pad slots
+        pad_pts = np.concatenate(
+            [pts, np.zeros((1, 5, 2), np.float32)], axis=1
+        )
+        pad_lbl = np.concatenate(
+            [lbl, np.full((1, 5), -1, np.int32)], axis=1
+        )
+        m_pad, iou_pad = model.apply(
+            params, emb, jnp.asarray(pad_pts), jnp.asarray(pad_lbl),
+            method=Sam.decode_masks,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(m_pad), np.asarray(m_ref), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(iou_pad), np.asarray(iou_ref), rtol=0, atol=1e-5
+        )

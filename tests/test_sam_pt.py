@@ -62,8 +62,11 @@ class TestForwardContract:
         video["target_hw"] = (96, 128)
         out = model.forward(video)
         assert out["logits"][0].shape == (5, 96, 128)
-        # trajectories scaled by 2x
-        assert out["trajectories"].max() <= 130
+        # trajectories are reported in the 2x-scaled target frame: clearly
+        # larger than the 48x64 source extent, bounded by the target extent
+        # plus a small off-frame drift margin (random-weight tracker)
+        assert out["trajectories"].max() > 66
+        assert out["trajectories"].max() <= 160
 
 
 class TestPromptAssembly:
