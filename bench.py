@@ -2,11 +2,13 @@
 
 Measures exactly the driver's north-star configuration (BASELINE.json):
 DAVIS-shaped video through SamPt with the SAM ViT-H encoder + CoTracker
-(stride 4, window 8), including query-point sampling, bidirectional tracking,
-batched SAM prompting with the negative-point chain and 12 box-refinement
-passes, device-side fusion to index masks, and the uint8 mask download —
-i.e., everything the VOS eval harness times (reference methodology:
-total_frames / total_process_time, sam_pt/vos_eval/eval.py:262-337).
+(stride 4, window 8), at the reference's DEFAULT point config (16 kmedoids
+positives + 1 mixed negative per mask, configs/model/sam_pt.yaml), including
+host-side query-point sampling, bidirectional tracking, batched SAM prompting
+with the negative-point chain and 12 box-refinement passes, device-side
+fusion to index masks, and the uint8 mask download — i.e., everything the
+VOS eval harness times (reference methodology: total_frames /
+total_process_time, sam_pt/vos_eval/eval.py:262-337).
 
 Weights are random (no checkpoints ship with this environment); throughput is
 weight-independent. Prints ONE JSON line.
@@ -60,13 +62,18 @@ def build_pipeline(n_frames, h, w, variant="vit_h"):
     )
     tracker.init_params(jax.random.PRNGKey(0), 64, 64)
 
+    # The reference's default sampler/point config
+    # (/root/reference/configs/model/sam_pt.yaml): 16 kmedoids positives +
+    # 1 mixed negative per mask, other-object negatives on. The host-side
+    # K-Medoids/Shi-Tomasi sampling cost is inside the reference's timed
+    # region (vos_eval/eval.py:262-337), so it is inside ours too.
     return SamPt(
         point_tracker=tracker,
         sam_predictor=predictor,
-        positive_points_per_mask=8,
+        positive_points_per_mask=16,
         negative_points_per_mask=1,
-        positive_point_selection_method="random",
-        negative_point_selection_method="random",
+        positive_point_selection_method="kmedoids",
+        negative_point_selection_method="mixed",
         add_other_objects_positive_points_as_negative_points=True,
         iterative_refinement_iterations=12,
         sam_iou_threshold=0.7,

@@ -296,15 +296,17 @@ class TestSuperGlueConversion:
 
         # --- SuperGlue
         sd = {}
-        dims = [(3, 32), (32, 64), (64, 128)]
+        # magicleap MLP([3, 32, 64, 128, 256, 256]): four hidden conv+BN
+        # stages at encoder indices 0/3/6/9 and a plain conv out at 12
+        dims = [(3, 32), (32, 64), (64, 128), (128, 256)]
         for li, (i, o) in enumerate(dims):
             idx = li * 3
             add(sd, f"kenc.encoder.{idx}.weight", o, i, 1)
             add(sd, f"kenc.encoder.{idx}.bias", o)
             for stat in ("weight", "bias", "running_mean", "running_var"):
                 add(sd, f"kenc.encoder.{idx + 1}.{stat}", o)
-        add(sd, "kenc.encoder.9.weight", 256, 128, 1)
-        add(sd, "kenc.encoder.9.bias", 256)
+        add(sd, "kenc.encoder.12.weight", 256, 256, 1)
+        add(sd, "kenc.encoder.12.bias", 256)
         for li in range(2 * 2):  # 2 gnn layer pairs
             base = f"gnn.layers.{li}"
             for pi in range(3):
