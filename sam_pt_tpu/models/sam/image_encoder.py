@@ -108,45 +108,73 @@ def _add_decomposed_rel_pos(
 
 
 class Attention(nn.Module):
-    """Multi-head attention over an NHWC token grid with optional rel-pos."""
+    """Multi-head attention over an NHWC token grid with optional rel-pos.
+
+    `padded_head_dim` (global-attention blocks): the qkv/proj/rel-pos
+    parameters carry the head dim padded to a lane-aligned size with zeros
+    baked into the CONVERTED WEIGHTS (utils/checkpoint.py), so no runtime pad
+    op runs and the fused kernel reads q/k/v straight from the qkv
+    projection's [B, N, 3, H, Dp] output — no head-split transpose, no bias
+    tensors, no augmentation concats in HBM.
+    """
 
     num_heads: int
     use_rel_pos: bool = True
     input_size: Optional[Tuple[int, int]] = None  # (H, W) for rel-pos tables
+    padded_head_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
-        scale = head_dim ** -0.5
+        hdp = self.padded_head_dim or head_dim
+        scale = head_dim ** -0.5  # scale always uses the REAL head dim
 
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.num_heads, h * w, head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv = nn.Dense(3 * self.num_heads * hdp, use_bias=True, name="qkv",
+                       dtype=self.dtype)(x)
+        qkv = qkv.reshape(b, h * w, 3 * self.num_heads * hdp)
 
         if self.use_rel_pos:
             rel_pos_h = self.param(
-                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, hdp)
             )
             rel_pos_w = self.param(
-                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, hdp)
             )
 
         # Large global blocks (the 4096-token SAM grid) go through the fused
-        # Pallas kernel: logits stay in VMEM and the rel-pos bias is consumed
-        # in factored form — no [N, N] HBM materialization. 196-token windows
-        # measured neutral-to-slightly-worse under the grouped kernel (the
-        # augmentation concats cost as much HBM traffic as the small logits
-        # they avoid), so they stay on the XLA einsum path.
+        # Pallas kernel: logits stay in VMEM and the rel-pos bias is computed
+        # inside the kernel from the raw tables — no [N, N] HBM logits, no
+        # bias tensors, no layout copies. 196-token windows measured
+        # neutral-to-slightly-worse under grouped kernels, so they stay on
+        # the XLA einsum path.
         use_fused = self.use_rel_pos and h * w >= 1024
-        if use_fused:
+        if use_fused and hdp % 128 == 0:
+            from ...ops.flash_attention import fused_qkv_relpos_attention
+
+            rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, hdp]
+            rw = _rel_pos_table(rel_pos_w, w, w)
+            out = fused_qkv_relpos_attention(
+                qkv, rh.astype(qkv.dtype), rw.astype(qkv.dtype),
+                scale=scale, kh=h, kw=w, heads=self.num_heads,
+            )  # [B, N, H*hdp]
+            out = out.reshape(b, h, w, self.num_heads * hdp)
+        elif use_fused:
+            # lane-unaligned head dim (direct Attention use without padded
+            # converted weights): older augmented-matmul kernel, pads at
+            # runtime
             from ...ops.flash_attention import fused_relpos_attention
 
-            rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, head_dim]
+            qkv = qkv.reshape(b, h * w, 3, self.num_heads, hdp)
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(
+                3, b * self.num_heads, h * w, hdp)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            rh = _rel_pos_table(rel_pos_h, h, h)
             rw = _rel_pos_table(rel_pos_w, w, w)
-            rq = q.reshape(-1, h, w, head_dim)
+            rq = q.reshape(-1, h, w, hdp)
             bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh.astype(q.dtype))
             bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw.astype(q.dtype))
             out = fused_relpos_attention(
@@ -155,7 +183,14 @@ class Attention(nn.Module):
                 bias_w.reshape(-1, h * w, w),
                 scale=scale,
             )
+            out = out.reshape(b, self.num_heads, h * w, hdp)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+                b, h, w, self.num_heads * hdp)
         else:
+            qkv = qkv.reshape(b, h * w, 3, self.num_heads, hdp)
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(
+                3, b * self.num_heads, h * w, hdp)
+            q, k, v = qkv[0], qkv[1], qkv[2]
             attn = (q * scale) @ jnp.swapaxes(k, -2, -1)
             if self.use_rel_pos:
                 attn = _add_decomposed_rel_pos(
@@ -163,9 +198,9 @@ class Attention(nn.Module):
                 )
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             out = attn @ v
-
-        out = out.reshape(b, self.num_heads, h * w, head_dim)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, h, w, c)
+            out = out.reshape(b, self.num_heads, h * w, hdp)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+                b, h, w, self.num_heads * hdp)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 
@@ -234,6 +269,7 @@ class Block(nn.Module):
     window_size: int = 0  # 0 = global attention
     input_size: Optional[Tuple[int, int]] = None
     pre_windowed: bool = False
+    padded_head_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -258,6 +294,7 @@ class Block(nn.Module):
         x = Attention(
             num_heads=self.num_heads,
             input_size=attn_size,
+            padded_head_dim=self.padded_head_dim,
             name="attn",
             dtype=self.dtype,
         )(x)
@@ -314,6 +351,15 @@ class ImageEncoderViT(nn.Module):
         # encoder device time). Padding slots are re-zeroed at each block's
         # attention input, matching the original per-block zero padding.
         interm = None
+        # Global blocks carry the head dim padded to the 128-lane boundary
+        # inside their converted weights (see Attention.padded_head_dim) —
+        # only at real SAM scale (grid >= 32), where the fused kernel runs;
+        # tiny test configs stay unpadded (and the converter mirrors this
+        # via the checkpoint's pos_embed grid).
+        head_dim = self.embed_dim // self.num_heads
+        pad_hd = (
+            ((head_dim + 127) // 128) * 128 if grid >= 32 else None
+        )
         i = 0
         while i < self.depth:
             if i in self.global_attn_indexes:
@@ -322,6 +368,7 @@ class ImageEncoderViT(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     window_size=0,
                     input_size=(grid, grid),
+                    padded_head_dim=pad_hd,
                     name=f"blocks_{i}",
                     dtype=self.dtype,
                 )(x)

@@ -183,6 +183,141 @@ def fused_relpos_attention(
     return out.reshape(b, n, dp)[..., :d]
 
 
+def _qkv_relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, oh_ref, o_ref, *,
+                       scale, kw):
+    """One (frame, head, q-tile) step: logits live only in VMEM and the
+    rel-pos bias is computed here from the raw tables.
+
+    Mosaic constraints shape the formulation: batched `dot_general` needs
+    lhs/rhs batch dims at the SAME index, lane-splitting reshapes
+    ([TQ, N] -> [rows, kw, kh, kw]) don't lower, and leading-dim transposes
+    are unreliable. So the per-row bias tables are built with 2D/bat-0 dots
+    (static unroll over the few rows in a q tile), and the bias ADD rides
+    the main logits matmul as channel augmentation: q gains its [KH]+[KW]
+    bias rows, k gains a static one-hot (y, x) block, and one MXU matmul
+    produces q.k + bias_h[yk] + bias_w[xk]."""
+    q = q_ref[0]  # [TQ, Dp]
+    k = k_ref[0]  # [N, Dp]
+    v = v_ref[0]  # [N, Dp]
+    rh = rh_ref[...]  # [rows, KH, Dp]
+    rw = rw_ref[...]  # [KW, KW, Dp]
+    oh = oh_ref[...]  # [N, KH+KW] static one-hot(y), one-hot(x)
+    tq = q.shape[0]
+    rows = tq // kw
+
+    # bias_h[r*kw + wq, yk] = q[r*kw + wq] . rh[r, yk]
+    # bias_w[r*kw + wq, xk] = q[r*kw + wq] . rw[wq, xk]
+    bh, bw = [], []
+    for r in range(rows):
+        q_r = q[r * kw:(r + 1) * kw, :]  # [KW, Dp]
+        bh.append(jax.lax.dot_general(
+            q_r, rh[r], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # [KW, KH]
+        bw_r = jax.lax.dot_general(
+            q_r[:, None, :], rw, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [KW, 1, KW], batch dims at index 0 on both sides
+        bw.append(bw_r.reshape(kw, kw))
+    bias = jnp.concatenate(
+        [jnp.concatenate(bh, 0), jnp.concatenate(bw, 0)], 1
+    )  # [TQ, KH+KW]
+
+    q_aug = jnp.concatenate(
+        [(q * scale).astype(q.dtype), bias.astype(q.dtype)], 1
+    )  # [TQ, Dp+KH+KW]
+    k_aug = jnp.concatenate([k, oh.astype(k.dtype)], 1)  # [N, Dp+KH+KW]
+    logits = jax.lax.dot_general(
+        q_aug, k_aug, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, N] = q.k*scale + bias_h[yk] + bias_w[xk]
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def fused_qkv_relpos_attention(
+    qkv: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    *,
+    scale: float,
+    kh: int,
+    kw: int,
+    heads: int,
+    q_tile: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Global ViT rel-pos attention straight from the fused qkv projection.
+
+    qkv: [B, N, 3*H*Dp] — the raw qkv Dense output (N = kh*kw tokens
+    row-major; Dp = head dim, padded to a multiple of 128 in the converted
+    weights so every per-head column slice is lane-aligned and no runtime
+    pad op exists). The same array is passed three times to pallas_call with
+    per-head column BlockSpecs, so q/k/v are never materialized separately
+    in HBM.
+    rel_pos_h: [kh, kh, Dp] table already resolved for q_size == k_size
+    (rel_pos_h_table[y_q, y_k] = Rh row); rel_pos_w: [kw, kw, Dp].
+    Returns [B, N, H*Dp].
+    """
+    b, n, chans = qkv.shape
+    assert chans % (3 * heads) == 0
+    dp = chans // (3 * heads)
+    assert kh * kw == n
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    tq = min(q_tile, n)
+    while n % tq or tq % kw:
+        tq //= 2
+    rows = tq // kw
+
+    # Static augmentation one-hot: key token y*kw + x contributes
+    # bias_h[., y] + bias_w[., x] to its logit via the augmented matmul.
+    idx = np.arange(n)
+    oh = np.zeros((n, kh + kw), np.float32)
+    oh[idx, idx // kw] = 1.0
+    oh[idx, kh + idx % kw] = 1.0
+    oh = jnp.asarray(oh, qkv.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_qkv_relpos_kernel, scale=scale, kw=kw),
+        grid=(b, heads, n // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, dp),
+                         lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp),
+                         lambda bi, hi, qi: (bi, 0, heads + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp),
+                         lambda bi, hi, qi: (bi, 0, 2 * heads + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, kh, dp),
+                         lambda bi, hi, qi: (qi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, kw, dp),
+                         lambda bi, hi, qi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, kh + kw),
+                         lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, dp),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, heads * dp), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_pos_h, rel_pos_w, oh)
+    return out
+
+
 def _blockdiag_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, window, q_chunk):
     """G windows fused into ONE [G*N, G*N] attention matmul with a static
     block-diagonal mask — avoids the per-small-matmul dispatch overhead that

@@ -81,29 +81,82 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": p}
 
 
+_GLOBAL_ATTN_BY_DEPTH = {12: (2, 5, 8, 11), 24: (5, 11, 17, 23),
+                         32: (7, 15, 23, 31)}
+
+
+def _pad_attn_heads(qkv_w, qkv_b, proj_w, rel_h, rel_w, num_heads):
+    """Fold the head-dim pad (e.g. 80 -> 128 for ViT-H) into the weights of
+    a global-attention block: zero lanes in qkv output columns / proj input
+    rows / rel-pos channels. Numerically identity (padded q,k,v lanes are
+    zero; proj rows for them are zero), but no runtime pad op remains and
+    the fused kernel reads lane-aligned heads."""
+    c = qkv_w.shape[0]
+    hd = c // num_heads
+    hdp = ((hd + 127) // 128) * 128
+    if hdp == hd:
+        return qkv_w, qkv_b, proj_w, rel_h, rel_w
+
+    def pad_out(w):  # [..., 3, H, hd] zero-pad last dim
+        shape = w.shape[:-1] + (3, num_heads, hd)
+        w = w.reshape(shape)
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, hdp - hd)]
+        w = np.pad(w, pad)
+        return w.reshape(w.shape[:-3] + (3 * num_heads * hdp,))
+
+    qkv_w = pad_out(qkv_w)
+    qkv_b = pad_out(qkv_b)
+    proj_w = np.pad(
+        proj_w.reshape(num_heads, hd, -1),
+        [(0, 0), (0, hdp - hd), (0, 0)],
+    ).reshape(num_heads * hdp, -1)
+    rel_h = np.pad(rel_h, [(0, 0), (0, hdp - hd)])
+    rel_w = np.pad(rel_w, [(0, 0), (0, hdp - hd)])
+    return qkv_w, qkv_b, proj_w, rel_h, rel_w
+
+
 def _convert_vit_encoder(sd, put):
     # --- image encoder
     put("image_encoder/patch_embed/kernel", conv_w(sd["image_encoder.patch_embed.proj.weight"]))
     put("image_encoder/patch_embed/bias", _t(sd["image_encoder.patch_embed.proj.bias"]))
+    grid = 0
     if "image_encoder.pos_embed" in sd:
-        put("image_encoder/pos_embed", _t(sd["image_encoder.pos_embed"]))
+        pe = _t(sd["image_encoder.pos_embed"])
+        put("image_encoder/pos_embed", pe)
+        grid = pe.shape[1]
 
     depth = 1 + max(
         int(m.group(1))
         for k in sd
         if (m := re.match(r"image_encoder\.blocks\.(\d+)\.", k))
     )
+    # real-scale checkpoints (grid >= 32, i.e. 1024-pixel SAM) get the head
+    # pad folded into global-attention blocks (matches ImageEncoderViT)
+    global_idx = (
+        set(_GLOBAL_ATTN_BY_DEPTH.get(depth, ())) if grid >= 32 else set()
+    )
     for i in range(depth):
         src = f"image_encoder.blocks.{i}"
         dst = f"image_encoder/blocks_{i}"
         put(f"{dst}/norm1/scale", _t(sd[f"{src}.norm1.weight"]))
         put(f"{dst}/norm1/bias", _t(sd[f"{src}.norm1.bias"]))
-        put(f"{dst}/attn/qkv/kernel", linear_w(sd[f"{src}.attn.qkv.weight"]))
-        put(f"{dst}/attn/qkv/bias", _t(sd[f"{src}.attn.qkv.bias"]))
-        put(f"{dst}/attn/proj/kernel", linear_w(sd[f"{src}.attn.proj.weight"]))
+        qkv_w = linear_w(sd[f"{src}.attn.qkv.weight"])
+        qkv_b = _t(sd[f"{src}.attn.qkv.bias"])
+        proj_w = linear_w(sd[f"{src}.attn.proj.weight"])
+        rel_h = _t(sd[f"{src}.attn.rel_pos_h"])
+        rel_w = _t(sd[f"{src}.attn.rel_pos_w"])
+        if i in global_idx:
+            c = qkv_w.shape[0]
+            hd = rel_h.shape[-1]
+            qkv_w, qkv_b, proj_w, rel_h, rel_w = _pad_attn_heads(
+                qkv_w, qkv_b, proj_w, rel_h, rel_w, num_heads=c // hd
+            )
+        put(f"{dst}/attn/qkv/kernel", qkv_w)
+        put(f"{dst}/attn/qkv/bias", qkv_b)
+        put(f"{dst}/attn/proj/kernel", proj_w)
         put(f"{dst}/attn/proj/bias", _t(sd[f"{src}.attn.proj.bias"]))
-        put(f"{dst}/attn/rel_pos_h", _t(sd[f"{src}.attn.rel_pos_h"]))
-        put(f"{dst}/attn/rel_pos_w", _t(sd[f"{src}.attn.rel_pos_w"]))
+        put(f"{dst}/attn/rel_pos_h", rel_h)
+        put(f"{dst}/attn/rel_pos_w", rel_w)
         put(f"{dst}/norm2/scale", _t(sd[f"{src}.norm2.weight"]))
         put(f"{dst}/norm2/bias", _t(sd[f"{src}.norm2.bias"]))
         put(f"{dst}/mlp_lin1/kernel", linear_w(sd[f"{src}.mlp.lin1.weight"]))

@@ -121,3 +121,98 @@ class TestWindowVariants:
         )
         ref = naive(q, k, v, bh, bw, 0.2)
         np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
+
+
+class TestQkvRelposKernel:
+    """New fused path: q/k/v read straight from the qkv projection layout,
+    rel-pos bias computed inside the kernel from the raw tables."""
+
+    def test_matches_naive(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_qkv_relpos_attention
+
+        b, kh, kw, heads, dp = 2, 32, 32, 2, 128
+        n = kh * kw
+        qkv = rng.standard_normal((b, n, 3, heads, dp)).astype(np.float32)
+        qkv_flat = qkv.reshape(b, n, 3 * heads * dp)
+        rh = rng.standard_normal((kh, kh, dp)).astype(np.float32) * 0.3
+        rw = rng.standard_normal((kw, kw, dp)).astype(np.float32) * 0.3
+        scale = 0.11
+
+        got = fused_qkv_relpos_attention(
+            jnp.asarray(qkv_flat), jnp.asarray(rh), jnp.asarray(rw),
+            scale=scale, kh=kh, kw=kw, heads=heads,
+        ).reshape(b, n, heads, dp)
+
+        ys = np.arange(n) // kw
+        xs = np.arange(n) % kw
+        for bi in range(b):
+            for hi in range(heads):
+                q = qkv[bi, :, 0, hi]
+                k = qkv[bi, :, 1, hi]
+                v = qkv[bi, :, 2, hi]
+                logits = (q * scale) @ k.T
+                bias_h = np.einsum("nc,nkc->nk", q, rh[ys])  # [N, kh]
+                bias_w = np.einsum("nc,nkc->nk", q, rw[xs])  # [N, kw]
+                logits = logits + bias_h[:, ys] + bias_w[:, xs]
+                logits -= logits.max(-1, keepdims=True)
+                p = np.exp(logits)
+                p /= p.sum(-1, keepdims=True)
+                ref = p @ v
+                np.testing.assert_allclose(
+                    np.asarray(got[bi, :, hi]), ref, atol=3e-4
+                )
+
+    def test_encoder_padded_global_block(self, rng):
+        """Attention with padded_head_dim: padded-weight fused path must match
+        the unpadded XLA math."""
+        from sam_pt_tpu.models.sam.image_encoder import (
+            Attention, _add_decomposed_rel_pos,
+        )
+
+        h = w = 32
+        c, heads = 32, 2
+        hd = c // heads  # 16
+        hdp = 128
+        x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+
+        attn = Attention(num_heads=heads, input_size=(h, w),
+                         padded_head_dim=hdp)
+        params = attn.init(jax.random.PRNGKey(0), x)
+        # build padded params from dense random originals (zeros in pads)
+        qkv_w = rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1
+        qkv_b = rng.standard_normal((3 * c,)).astype(np.float32) * 0.1
+        proj_w = rng.standard_normal((c, c)).astype(np.float32) * 0.1
+        proj_b = rng.standard_normal((c,)).astype(np.float32) * 0.1
+        rel_h = rng.standard_normal((2 * h - 1, hd)).astype(np.float32) * 0.1
+        rel_w = rng.standard_normal((2 * w - 1, hd)).astype(np.float32) * 0.1
+
+        from sam_pt_tpu.utils.checkpoint import _pad_attn_heads
+
+        pqkv_w, pqkv_b, pproj_w, prel_h, prel_w = _pad_attn_heads(
+            qkv_w, qkv_b, proj_w, rel_h, rel_w, num_heads=heads
+        )
+        params = {"params": {
+            "qkv": {"kernel": jnp.asarray(pqkv_w), "bias": jnp.asarray(pqkv_b)},
+            "proj": {"kernel": jnp.asarray(pproj_w), "bias": jnp.asarray(proj_b)},
+            "rel_pos_h": jnp.asarray(prel_h),
+            "rel_pos_w": jnp.asarray(prel_w),
+        }}
+        got = attn.apply(params, x)
+
+        # unpadded reference math
+        qkv = x.reshape(1, h * w, c) @ qkv_w + qkv_b
+        qkv = qkv.reshape(1, h * w, 3, heads, hd)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(
+            3, heads, h * w, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        scale = hd ** -0.5
+        logits = (q * scale) @ jnp.swapaxes(k, -1, -2)
+        logits = _add_decomposed_rel_pos(
+            logits, q, jnp.asarray(rel_h), jnp.asarray(rel_w), (h, w), (h, w))
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = (probs @ v).reshape(1, heads, h * w, hd)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(1, h * w, c)
+        ref = out @ proj_w + proj_b
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(1, h * w, c), np.asarray(ref), atol=3e-4
+        )
