@@ -79,21 +79,23 @@ def _get_path(cfg: Config, dotted: str) -> Any:
 
 
 def _parse_default_entry(entry: Any) -> Optional[tuple]:
-    """Parse one defaults-list entry -> (group, name, package) or None for _self_."""
+    """Parse one defaults-list entry -> (group, name, package, explicit_pkg)
+    or None for _self_. `explicit_pkg` is True for the `group@pkg:` form —
+    Hydra's bare `group=name` CLI override only retargets entries WITHOUT an
+    explicit package; `group@pkg=name` is needed for the rest."""
     if entry == "_self_":
         return None
     if isinstance(entry, str):
         # bare config name at the same level, merged into root
-        return (None, entry, None)
+        return (None, entry, None, False)
     if isinstance(entry, dict):
         (key, name), = entry.items()
         if key == "_self_":
             return None
         if "@" in key:
             group, package = key.split("@", 1)
-        else:
-            group, package = key, key
-        return (group, name, package)
+            return (group, name, package, True)
+        return (key, name, key, False)
     raise ValueError(f"Cannot parse defaults entry: {entry!r}")
 
 
@@ -117,14 +119,29 @@ def compose(
         if "=" not in ov:
             raise ValueError(f"Override must contain '=': {ov}")
         key, _, val = ov.partition("=")
-        if "/" in key and not key.startswith("+"):
+        # Hydra group-override forms: "group/sub=name", "group@pkg=name",
+        # and the bare "group=name" (e.g. `model=sam_pt`) — recognized when
+        # the key names a config group directory and isn't a dotted value
+        # path.
+        grp = key.partition("@")[0]  # package part (after @) may be dotted
+        is_group = not key.startswith("+") and "." not in grp and (
+            "/" in grp or "@" in key or (config_dir / grp).is_dir()
+        )
+        if is_group:
             group_overrides[key] = val
         else:
             allow_new = key.startswith("+")
             value_overrides.append((key.lstrip("+"), _parse_scalar(val), allow_new))
 
+    consumed: set = set()
     cfg = _compose_file(config_dir, config_name, package=None,
-                        group_prefix="", group_overrides=group_overrides)
+                        group_prefix="", group_overrides=group_overrides,
+                        consumed=consumed)
+    unmatched = set(group_overrides) - consumed
+    if unmatched:
+        raise KeyError(
+            f"Group override(s) matched no defaults entry: {sorted(unmatched)}"
+        )
 
     for key, val, allow_new in value_overrides:
         _set_path(cfg, key, val, allow_new=allow_new)
@@ -137,10 +154,13 @@ def _compose_file(
     package: Optional[str],
     group_prefix: str,
     group_overrides: Dict[str, str],
+    pkg_prefix: str = "",
+    consumed: Optional[set] = None,
 ) -> Config:
     path = config_dir / f"{rel_name}.yaml"
     raw = load_yaml(path)
     defaults = raw.pop("defaults", [])
+    consumed = consumed if consumed is not None else set()
 
     before_self: Config = {}
     after_self: Config = {}
@@ -150,18 +170,30 @@ def _compose_file(
         if parsed is None:
             target = after_self
             continue
-        group, name, pkg = parsed
+        group, name, pkg, explicit_pkg = parsed
         if group is None:
             # bare include, merged into root of this file's config
             sub = _compose_file(config_dir, _sibling(rel_name, name), None,
-                                group_prefix, group_overrides)
+                                group_prefix, group_overrides,
+                                pkg_prefix, consumed)
             target = _merge_into(target, sub)
             continue
         group_key = f"{group_prefix}{group}"
-        name = group_overrides.get(group_key, name)
+        abs_pkg = f"{pkg_prefix}.{pkg}" if pkg_prefix else pkg
+        # Hydra override matching: "group@abs_pkg=name" targets this entry
+        # precisely; the bare "group=name" form only retargets entries that
+        # did not declare an explicit package.
+        qualified = f"{group_key}@{abs_pkg}"
+        if qualified in group_overrides:
+            name = group_overrides[qualified]
+            consumed.add(qualified)
+        elif not explicit_pkg and group_key in group_overrides:
+            name = group_overrides[group_key]
+            consumed.add(group_key)
         sub_rel = _sibling(rel_name, f"{group}/{name}")
         sub_cfg = _compose_file(config_dir, sub_rel, None,
-                                f"{group_key}/", group_overrides)
+                                f"{group_key}/", group_overrides,
+                                abs_pkg, consumed)
         wrapped: Config = {}
         if pkg:
             _set_path(wrapped, pkg, sub_cfg)

@@ -19,7 +19,14 @@ from typing import Any, Dict, Optional
 
 class RunLogger:
     def __init__(self, output_dir: str = "outputs/logs",
-                 exp_id: str = "run", config: Optional[Dict] = None):
+                 exp_id: str = "run", config: Optional[Dict] = None,
+                 logging_cfg: Optional[Dict] = None):
+        """`logging_cfg` is the composed `logging:` config group
+        (configs/logging/*.yaml — reference surface configs/logging/base.yaml):
+        {exp_id, wandb: {entity, project, ...}}. Explicit `exp_id` wins; the
+        wandb project falls back to the WANDB_PROJECT env var."""
+        logging_cfg = logging_cfg or {}
+        wandb_cfg = logging_cfg.get("wandb") or {}
         self.output_dir = output_dir
         self.exp_id = exp_id
         os.makedirs(output_dir, exist_ok=True)
@@ -31,7 +38,9 @@ class RunLogger:
                 import wandb  # optional
 
                 self._wandb = wandb
-                wandb.init(project=os.environ.get("WANDB_PROJECT", "sam-pt-tpu"),
+                wandb.init(project=wandb_cfg.get("project")
+                           or os.environ.get("WANDB_PROJECT", "sam-pt-tpu"),
+                           entity=wandb_cfg.get("entity"),
                            name=exp_id, config=config or {})
             except Exception:
                 self._wandb = None

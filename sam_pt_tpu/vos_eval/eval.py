@@ -371,6 +371,7 @@ def evaluate(cfg) -> Dict:
         output_dir=path.join(cfg["output"], "logs"),
         exp_id=str(cfg.get("exp_id", "vos-eval")),
         config={k: v for k, v in cfg.items() if not isinstance(v, dict)},
+        logging_cfg=cfg.get("logging"),
     )
     logger.set_summary(fps=fps, total_frames=total_frames,
                        total_process_time=total_process_time)

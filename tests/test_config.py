@@ -101,14 +101,16 @@ class TestRealConfigTree:
         import pathlib
 
         cfg_dir = pathlib.Path(__file__).parent.parent / "configs"
-        variants = ["sam_vit_base", "sam_vit_large", "sam_vit_huge",
-                    "sam_mobile_vit_tiny", "samhq_vit_huge",
-                    "samhq_light_vit_tiny"]
-        for v in variants:
+        variants = {"sam_vit_base": "vit_b", "sam_vit_large": "vit_l",
+                    "sam_vit_huge": "vit_h", "sam_mobile_vit_tiny": "vit_t",
+                    "samhq_vit_huge": "vit_h", "samhq_light_vit_tiny": "vit_t"}
+        for v, vit in variants.items():
             cfg = compose(cfg_dir, "vos_eval_root",
                           [f"model/sam@model.sam_predictor={v}"])
             cfg = resolve_interpolations(cfg, runtime_cwd="/repo")
-            assert cfg["model"]["sam_predictor"]["variant"], v
+            # assert the override APPLIED (not just that a variant exists) —
+            # a silent no-op here once hid a broken @pkg override matcher
+            assert cfg["model"]["sam_predictor"]["variant"] == vit, v
 
     def test_vis_and_demo_compose(self):
         import pathlib
@@ -119,3 +121,134 @@ class TestRealConfigTree:
                 compose(cfg_dir, name), runtime_cwd="/repo"
             )
             assert cfg["model"], name
+
+
+class TestDocumentedReferenceCommands:
+    """Every CLI line in the reference's experiment guide
+    (/root/reference/docs/04-running-experiments.md:13-181) must compose on
+    this repo's config tree. Overrides are translated where the surface
+    legitimately differs: our sam group IS the predictor config
+    (`model/sam@model.sam_predictor=X` replaces the reference's
+    `...sam_model=X` + `_target_` pair), and detectron2 launch flags
+    (num_gpus_per_machine, dist_url, DETECTRON2_CONFIG.*) are replaced by
+    the jax mesh / multihost sharding path."""
+
+    @pytest.fixture
+    def cfg_dir(self):
+        return pathlib.Path(__file__).parent.parent / "configs"
+
+    def _compose(self, cfg_dir, root, overrides):
+        cfg = compose(cfg_dir, root, overrides)
+        return resolve_interpolations(cfg, runtime_cwd="/repo")
+
+    def test_default_vos(self, cfg_dir):
+        cfg = self._compose(cfg_dir, "vos_eval_root", ["model=sam_pt"])
+        assert cfg["logging"]["wandb"]["project"] == "point-tracking-for-vos"
+
+    def test_tracker_swaps(self, cfg_dir):  # docs :20-47
+        lines = [
+            ["model=sam_pt", "model/point_tracker=raft"],
+            ["model=sam_pt", "model/point_tracker=tapnet"],
+            ["model=sam_pt", "model/point_tracker=pips",
+             "model.positive_points_per_mask=8"],
+            ["model=sam_pt", "model/point_tracker=pips_plus_plus",
+             "model.positive_points_per_mask=8"],
+            ["model=sam_pt", "model/point_tracker=tapir",
+             "model.positive_points_per_mask=32",
+             "model.negative_points_per_mask=72",
+             "model.iterative_refinement_iterations=24"],
+            ["model=sam_pt", "model/point_tracker=superglue",
+             "model.negative_points_per_mask=0",
+             "model.positive_point_selection_method=random",
+             "model.negative_point_selection_method=random",
+             "model.iterative_refinement_iterations=3"],
+        ]
+        for ov in lines:
+            cfg = self._compose(cfg_dir, "vos_eval_root", ov)
+            assert cfg["model"]["point_tracker"]["_target_"], ov
+
+    def test_sam_variant_swaps(self, cfg_dir):  # docs :55-104
+        for v, extra in [
+            ("sam_vit_huge", []),
+            ("sam_vit_large", []),
+            ("sam_vit_base", []),
+            ("samhq_vit_huge", []),
+            ("samhq_light_vit_tiny",
+             ["model.iterative_refinement_iterations=3"]),
+            ("sam_mobile_vit_tiny",
+             ["model.iterative_refinement_iterations=3"]),
+        ]:
+            cfg = self._compose(
+                cfg_dir, "vos_eval_root",
+                ["model=sam_pt", f"model/sam@model.sam_predictor={v}"] + extra,
+            )
+            assert cfg["model"]["sam_predictor"]["variant"], v
+
+    def test_vos_dataset_sweeps(self, cfg_dir):  # docs :119-126
+        lines = [
+            ["model=sam_pt", "dataset=D16", "split=val"],
+            ["model=sam_pt", "dataset=D17", "split=val"],
+            ["model=sam_pt", "dataset=D17", "split=test"],
+            ["model=sam_pt", "dataset=Y18", "split=val"],
+            ["model=sam_pt", "dataset=MOSE", "split=val",
+             "model.iterative_refinement_iterations=0"],
+            ["model=sam_pt", "dataset=BDD100K", "split=val",
+             "model.iterative_refinement_iterations=0",
+             "model.point_tracker_mask_batch_size=100"],
+        ]
+        for ov in lines:
+            cfg = self._compose(cfg_dir, "vos_eval_root", ov)
+            assert cfg["dataset"] == ov[1].split("=")[1]
+
+    def test_reinit_command(self, cfg_dir):  # docs :137
+        cfg = self._compose(
+            cfg_dir, "vos_eval_root",
+            ["model=sam_pt_reinit", "dataset=D17", "split=val",
+             "model.use_point_reinit=true"],
+        )
+        assert cfg["model"]["use_point_reinit"] is True
+        assert cfg["model"]["_target_"] == "sam_pt_tpu.models.sam_pt.SamPt"
+
+    def test_vis_command(self, cfg_dir):  # docs :143-149
+        cfg = self._compose(
+            cfg_dir, "vis_eval_sam_pt",
+            ["vos_model.iterative_refinement_iterations=0",
+             "vos_model.add_other_objects_positive_points_as_negative_points=false",
+             "seed=36"],
+        )
+        # shared-SAM wiring: predictor node IS the sam_shared node
+        assert cfg["vos_model"]["sam_predictor"]["_shared_"] == "sam_predictor"
+        assert (cfg["vos_model"]["sam_predictor"]["variant"]
+                == cfg["model"]["sam_generator"]["model"]["variant"])
+        assert cfg["vos_model"]["point_tracker_mask_batch_size"] == 100
+
+    def test_vis_tiny_dataset(self, cfg_dir):  # docs :153-166
+        cfg = self._compose(cfg_dir, "vis_eval_sam_pt",
+                            ["dataset=uvo_v1_val_tiny"])
+        assert cfg["dataset"] == "uvo_v1_val_tiny"
+
+    def test_interactive_command(self, cfg_dir):  # docs :170-181
+        cfg = self._compose(
+            cfg_dir, "vos_eval_root",
+            ["model=sam_pt",
+             "simulate_interactive_point_correction=true",
+             "masks_batch_size=1",
+             "vid_ids=[4,12]",
+             "model._target_=sam_pt_tpu.models.sam_pt_interactive.SamPtInteractive",
+             "model.iterative_refinement_iterations=0",
+             "model.positive_points_per_mask=1",
+             "model.negative_points_per_mask=0",
+             "+model.visualize_all_interactions_separately=true",
+             "+model.visualize_all_interactions_as_mp4=true",
+             "+model.interactions_max=300",
+             "+model.interactions_max_per_frame=4",
+             "+model.online=true",
+             "+model.online_interactive_iou_threshold=0.95"],
+        )
+        assert cfg["vid_ids"] == [4, 12]
+        assert cfg["model"]["online"] is True
+        assert cfg["model"]["_target_"].endswith("SamPtInteractive")
+
+    def test_demo_logging_group(self, cfg_dir):
+        cfg = self._compose(cfg_dir, "demo", [])
+        assert cfg["logging"]["wandb"]["project"] == "demo"
