@@ -99,6 +99,8 @@ class SamPt:
         sam_decode_chunk: int = 32,
         sam_encode_chunk: int = 4,
         seed: int = 72,
+        data_parallel: bool = False,
+        mesh=None,
     ):
         self.point_tracker = point_tracker
         self.sam_predictor = sam_predictor
@@ -124,6 +126,46 @@ class SamPt:
         self.sam_encode_chunk = sam_encode_chunk
         self.rng = np.random.default_rng(seed)
         self._chain_fns = {}  # jitted decode-chain programs, keyed by shape
+        # Data parallelism (SURVEY §2.10 TPU-native mapping): the SAM encode
+        # (frame axis) and decode ((frame, object) pair axis) batches shard
+        # over a jax.sharding.Mesh 'data' axis with replicated params; the
+        # host orchestration is unchanged. `data_parallel=True` builds a
+        # mesh over all local devices at first forward (or pass `mesh`).
+        self.data_parallel = data_parallel
+        self.mesh = mesh
+        self._data_sharding = None
+
+    # ------------------------------------------------------------------
+    # Data parallelism over a device mesh
+    # ------------------------------------------------------------------
+    def _setup_mesh(self) -> None:
+        """Lazily wire the mesh: replicate SAM params (by rebuilding the
+        predictor with the mesh), round the encode/decode chunk sizes up to
+        mesh-size multiples (sharding needs even splits), and cache the
+        batch sharding used by `_shard`."""
+        if not self.data_parallel or self._data_sharding is not None:
+            return
+        from ..parallel.mesh import batch_sharding, create_mesh
+
+        mesh = self.mesh if self.mesh is not None else create_mesh()
+        self.mesh = mesh
+        ndev = int(mesh.devices.size)
+        rup = lambda x: ((x + ndev - 1) // ndev) * ndev  # noqa: E731
+        self.sam_encode_chunk = rup(self.sam_encode_chunk)
+        self.sam_decode_chunk = rup(self.sam_decode_chunk)
+        pred = self.sam_predictor
+        if getattr(pred, "mesh", None) is None:
+            self.sam_predictor = type(pred)(
+                pred.model, pred.params, antialias=pred.antialias, mesh=mesh
+            )
+        self._chain_fns = {}
+        self._data_sharding = batch_sharding(mesh)
+
+    def _shard(self, x):
+        """Shard the leading batch axis over the mesh (no-op without one)."""
+        if self._data_sharding is None:
+            return x
+        return jax.device_put(x, self._data_sharding)
 
     # ------------------------------------------------------------------
     # Entry point
@@ -135,6 +177,7 @@ class SamPt:
         'target_hw' (h, w), and either 'query_points' [M, P, 3] (t, x, y) or
         'query_masks' [M, H, W] + 'query_point_timestep' [M].
         """
+        self._setup_mesh()
         images = np.asarray(video["image"])
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
             images = images.transpose(0, 2, 3, 1)  # accept NCHW input
@@ -470,6 +513,10 @@ class SamPt:
         keep_device = getattr(self, "_keep_logits_device", False)
         iou_all = np.zeros((b,), np.float32)
         chunk = min(self.sam_decode_chunk, b)
+        if self._data_sharding is not None:
+            ndev = int(self.mesh.devices.size)
+            chunk = min(self.sam_decode_chunk,
+                        ((b + ndev - 1) // ndev) * ndev)
         dev_chunks = []
         logits = None if keep_device else np.full((b, h, w), NEG_INF, np.float32)
         for i in range(0, b, chunk):
@@ -478,9 +525,9 @@ class SamPt:
             pad = chunk - nb
             idx = np.concatenate([np.arange(sl.start, sl.stop),
                                   np.full(pad, sl.start)])
-            emb = _emb_index(embeddings, jnp.asarray(emb_flat[idx]))
-            pts = jnp.asarray(pts_flat[idx])
-            lbl = jnp.asarray(lbl_flat[idx])
+            emb = self._shard(_emb_index(embeddings, jnp.asarray(emb_flat[idx])))
+            pts = self._shard(jnp.asarray(pts_flat[idx]))
+            lbl = self._shard(jnp.asarray(lbl_flat[idx]))
             chain = self._get_chain_fn(original_hw, upscale=True)
             up, iou = chain(predictor.params, emb, pts, lbl)
             if keep_device:
@@ -526,7 +573,7 @@ class SamPt:
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
                 )
-            emb = self.sam_predictor.encode_frames(chunk, hw)
+            emb = self.sam_predictor.encode_frames(self._shard(chunk), hw)
             emb_chunks.append(
                 jax.tree_util.tree_map(lambda a: a[: ec - pad], emb)
             )
@@ -553,7 +600,7 @@ class SamPt:
                     [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
                 )
             emb = self.sam_predictor.encode_frames(
-                chunk, (images.shape[1], images.shape[2])
+                self._shard(chunk), (images.shape[1], images.shape[2])
             )
             chunks.append(jax.tree_util.tree_map(lambda a: a[: ec - pad], emb))
         return jax.tree_util.tree_map(

@@ -48,9 +48,9 @@ def replicate(tree, mesh: Mesh):
 def shard_batch(x, mesh: Mesh, axis: str = "data"):
     """Place array(s) with the leading axis sharded across `axis`.
 
-    Pads the leading axis up to a multiple of the mesh size? No — callers pad;
-    sharding requires divisibility only for even splits, which callers ensure
-    by chunking to multiples of the mesh size.
+    The leading axis must be divisible by the mesh size; callers pad/chunk
+    to a multiple of the mesh size before sharding (no implicit padding
+    here, so shapes stay static under jit).
     """
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), x)
