@@ -90,6 +90,102 @@ class TestVideoAP:
         assert m["AP"] == 0.0
 
 
+def _det(vid, score, mask, t=3, cat=1):
+    return {"video_id": vid, "category_id": cat, "score": score,
+            "segmentations": [encode_mask(mask)] * t}
+
+
+def _box_mask(h, w, y0, x0, size):
+    m = np.zeros((h, w), bool)
+    m[y0:y0 + size, x0:x0 + size] = True
+    return m
+
+
+class TestVideoAPFullStats:
+    """Area-range and maxDets semantics vs hand-computed COCO values
+    (reference ytvis_api/ytvoseval.py:286-546)."""
+
+    H, W = 300, 420
+
+    def _gt(self, objects, iscrowd=None):
+        anns = []
+        for i, mask in enumerate(objects):
+            anns.append({
+                "id": i + 1, "video_id": 1, "category_id": 1,
+                "segmentations": [encode_mask(mask)] * 3,
+                "iscrowd": 0 if iscrowd is None else iscrowd[i],
+            })
+        return {
+            "videos": [{"id": 1, "height": self.H, "width": self.W,
+                        "length": 3,
+                        "file_names": [f"v/{i:05d}.jpg" for i in range(3)]}],
+            "annotations": anns,
+            "categories": [{"id": 1, "name": "object"}],
+        }
+
+    def test_area_buckets(self):
+        # small 10x10=100 < 128^2; medium 150^2 in (128^2, 256^2);
+        # large 260^2 > 256^2 — one perfect det each
+        small = _box_mask(self.H, self.W, 0, 0, 10)
+        medium = _box_mask(self.H, self.W, 20, 20, 150)
+        large = _box_mask(self.H, self.W, 0, 150, 260)
+        gt = self._gt([small, medium, large])
+        dets = [_det(1, 0.9, small), _det(1, 0.8, medium),
+                _det(1, 0.7, large)]
+        m = YTVOSEvaluator(gt).evaluate(dets)
+        for k in ("AP", "AP50", "AP75", "APs", "APm", "APl",
+                  "AR@1", "AR@10", "AR@100", "ARs", "ARm", "ARl"):
+            assert k in m, k
+        assert m["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert m["APs"] == pytest.approx(1.0, abs=1e-6)
+        assert m["APm"] == pytest.approx(1.0, abs=1e-6)
+        assert m["APl"] == pytest.approx(1.0, abs=1e-6)
+        # AR@1 sees only the top-scored det -> recalls 1 of 3 GTs
+        assert m["AR@1"] == pytest.approx(1 / 3, abs=1e-6)
+        assert m["AR@10"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_high_scored_fp_halves_ap(self):
+        # dets: FP at score .9 then perfect TP at .8 -> precision envelope
+        # is 0.5 at every recall point -> AP exactly 0.5 (COCO 101-pt)
+        obj = _box_mask(self.H, self.W, 40, 40, 150)
+        spurious = _box_mask(self.H, self.W, 250, 350, 30)
+        gt = self._gt([obj])
+        dets = [_det(1, 0.9, spurious), _det(1, 0.8, obj)]
+        m = YTVOSEvaluator(gt).evaluate(dets)
+        assert m["AP"] == pytest.approx(0.5, abs=1e-6)
+        assert m["AP50"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_out_of_range_unmatched_det_is_ignored_not_fp(self):
+        # same fixture, but scored per area range: in 'large' the small
+        # spurious det is out of range and unmatched -> ignored -> APl = 1
+        obj = _box_mask(self.H, self.W, 0, 0, 260)  # large
+        spurious = _box_mask(self.H, self.W, 280, 390, 10)  # small
+        gt = self._gt([obj])
+        dets = [_det(1, 0.9, spurious), _det(1, 0.8, obj)]
+        m = YTVOSEvaluator(gt).evaluate(dets)
+        assert m["AP"] == pytest.approx(0.5, abs=1e-6)   # FP in 'all'
+        assert m["APl"] == pytest.approx(1.0, abs=1e-6)  # ignored in 'large'
+        assert m["APs"] == -1.0  # no small GT anywhere -> absent bucket
+
+    def test_crowd_gt_ignored(self):
+        # det matching a crowd GT is ignored (neither TP nor FP); the real
+        # GT's TP keeps AP at 1 despite the higher-scored crowd match
+        crowd = _box_mask(self.H, self.W, 0, 0, 150)
+        real = _box_mask(self.H, self.W, 160, 160, 130)
+        gt = self._gt([crowd, real], iscrowd=[1, 0])
+        dets = [_det(1, 0.9, crowd), _det(1, 0.8, real)]
+        m = YTVOSEvaluator(gt).evaluate(dets)
+        assert m["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert m["AR@100"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_avg_area_uses_nonzero_frames(self):
+        from sam_pt_tpu.vis_eval.ytvos_eval import avg_area
+
+        m1 = _box_mask(self.H, self.W, 0, 0, 10)
+        assert avg_area([m1, None, np.zeros_like(m1)]) == 100.0
+        assert avg_area([None, None]) == 0.0
+
+
 class TestAutoMaskGenerator:
     def test_generate_contract(self, rng):
         from sam_pt_tpu.models.sam.auto_mask_generator import (
