@@ -10,12 +10,15 @@ Debug subsetting flags mirror the reference: max_videos, max_frames, vid_ids.
 """
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
 from os import path
 from typing import Dict, List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
@@ -80,8 +83,6 @@ def build_dataset(cfg):
 
 def one_point_query_masks(model, images, query_masks, gt_ti_list):
     """SAM masks from a single kmedoid point per object (reference :238-257)."""
-    import jax.numpy as jnp
-
     from ..utils.query_points import extract_kmedoid_points
 
     out = []
@@ -110,6 +111,25 @@ def softmax_fuse(logits: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=1, keepdims=True)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _fuse_chunk_jit(chunk_logits, frame_ids, args, _chunk):
+    """One frame-chunk of device-side fusion (module-level jit: defining
+    this inside device_fuse_index_masks gave every call a FRESH jit cache,
+    recompiling through the remote-compile tunnel per video — ~1 s/call)."""
+    gt, ts = args
+    big = jnp.float16(60000.0)
+    # suppress masks before their query frame
+    before = frame_ids[None, :] < ts[:, None]  # [M, F]
+    x = jnp.where(before[..., None, None], -big, chunk_logits)
+    # overwrite GT at the query frame
+    at_query = frame_ids[None, :] == ts[:, None]  # [M, F]
+    gt_val = jnp.where(gt[:, None, :, :], big, -big)  # [M, 1, h, w]
+    x = jnp.where(at_query[..., None, None], gt_val, x)
+    bg = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    stacked = jnp.concatenate([bg, x], axis=0)  # [1+M, F, h, w]
+    return jnp.argmax(stacked, axis=0).astype(jnp.uint8)  # [F, h, w]
+
+
 def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
     """Fuse per-mask logits into index masks fully ON DEVICE.
 
@@ -119,31 +139,12 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
     background channel (argmax of the softmax == argmax of the logits), and
     downloads ONLY [T, h, w] uint8 index masks.
     """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
     m, t, h, w = logits_dev.shape
     # upload as uint8: bool host->device transfers take a slow per-element
     # path on remote-attached runtimes (~50x slower measured); cast on device
     gt_dev = jnp.asarray(np.asarray(gt_masks > 0.5, np.uint8)).astype(bool)
     ts_dev = jnp.asarray(np.asarray(gt_ts, np.int32))
-
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def fuse(chunk_logits, frame_ids, args, _chunk):
-        gt, ts = args
-        big = jnp.float16(60000.0)
-        # suppress masks before their query frame
-        before = frame_ids[None, :] < ts[:, None]  # [M, F]
-        x = jnp.where(before[..., None, None], -big, chunk_logits)
-        # overwrite GT at the query frame
-        at_query = frame_ids[None, :] == ts[:, None]  # [M, F]
-        gt_val = jnp.where(gt[:, None, :, :], big, -big)  # [M, 1, h, w]
-        x = jnp.where(at_query[..., None, None], gt_val, x)
-        bg = jnp.zeros((1,) + x.shape[1:], x.dtype)
-        stacked = jnp.concatenate([bg, x], axis=0)  # [1+M, F, h, w]
-        return jnp.argmax(stacked, axis=0).astype(jnp.uint8)  # [F, h, w]
+    fuse = _fuse_chunk_jit
 
     out = np.zeros((t, h, w), np.uint8)
     for i in range(0, t, frame_chunk):
@@ -297,7 +298,6 @@ def evaluate(cfg) -> Dict:
         )
 
         if device_parts:
-            import jax.numpy as jnp
 
             logits_dev = (
                 device_parts[0]

@@ -8,7 +8,10 @@ import os
 import numpy as np
 import pytest
 
-DEMO_DATA = "/root/reference/data/demo_data"
+DEMO_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "demo_data",
+)
 
 
 @pytest.mark.skipif(
