@@ -12,6 +12,7 @@ import os
 from typing import List, Optional, Sequence
 
 import numpy as np
+from PIL import Image
 
 from .util import PointVisibilityType, VISIBILITY_TO_COLOR
 
@@ -113,3 +114,109 @@ def save_frames(frames: np.ndarray, out_dir: str, prefix: str = "") -> None:
                 os.path.join(out_dir, f"{prefix}{i:05d}.jpg"),
                 cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
             )
+
+
+def pca_feature_image(feats: np.ndarray, valid: "np.ndarray | None" = None,
+                      eps: float = 1e-6) -> np.ndarray:
+    """Project feature maps to a 3-channel PCA visualization.
+
+    Native replacement for the reference's PIPS feature visualizer
+    (sam_pt/point_tracker/utils/improc.py:26-131 `pca_embed` /
+    `get_feat_pca`): fit 3 principal components on the (optionally
+    valid-masked) pixels of the WHOLE batch jointly ("together" mode, the
+    reference default for `get_feat_pca`), project all pixels, and scale
+    each image to uint8 by its 2nd/98th percentiles.
+
+    feats: [H, W, C] or [T, H, W, C] float features.
+    valid: optional [H, W] (or [T, H, W]) boolean mask of pixels to fit on.
+    Returns uint8 RGB of shape [H, W, 3] (or [T, H, W, 3]).
+    """
+    single = feats.ndim == 3
+    x = np.asarray(feats, np.float64)[None] if single else np.asarray(
+        feats, np.float64)
+    t, h, w, c = x.shape
+    flat = x.reshape(t * h * w, c) + eps
+    if valid is not None:
+        v = np.asarray(valid, bool).reshape(-1)
+        fit = flat[v] if v.any() else flat
+    else:
+        fit = flat
+    # 3-component PCA via SVD on centered pixels (no sklearn dependency)
+    mean = fit.mean(axis=0)
+    centered = fit - mean
+    # randomized subsample keeps the SVD cheap on big maps
+    if len(centered) > 16384:
+        idx = np.random.default_rng(0).choice(len(centered), 16384,
+                                              replace=False)
+        centered = centered[idx]
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    proj = (flat - mean) @ vt[:3].T  # [T*H*W, 3]
+    if valid is not None:
+        proj = proj * np.asarray(valid, bool).reshape(-1, 1)
+    proj = proj.reshape(t, h, w, 3)
+
+    out = np.zeros((t, h, w, 3), np.uint8)
+    for i in range(t):
+        lo = np.percentile(proj[i], 2, axis=(0, 1), keepdims=True)
+        hi = np.percentile(proj[i], 98, axis=(0, 1), keepdims=True)
+        img = np.clip((proj[i] - lo) / np.maximum(hi - lo, 1e-12), 0, 1)
+        out[i] = (img * 255).astype(np.uint8)
+    return out[0] if single else out
+
+
+class SummWriter:
+    """Disk-backed summary writer replacing the reference's tensorboard
+    `Summ_writer` (improc.py:375): same summ_rgb/summ_feat/summ_oned surface
+    but writing PNG/mp4 files under a directory (wandb/tensorboard-free).
+
+    Only active when `save_this` is true (the reference gates on
+    global_step % log_freq == 0 the same way).
+    """
+
+    def __init__(self, output_dir: str, global_step: int = 0,
+                 log_freq: int = 1, fps: int = 8):
+        self.output_dir = output_dir
+        self.global_step = global_step
+        self.fps = fps
+        self.save_this = (log_freq > 0) and (global_step % log_freq == 0)
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _path(self, name: str, ext: str) -> str:
+        safe = name.replace("/", "_")
+        return os.path.join(self.output_dir,
+                            f"{self.global_step:06d}_{safe}.{ext}")
+
+    def summ_rgb(self, name: str, rgb: np.ndarray) -> None:
+        """rgb: [H, W, 3] uint8 (or float in [0, 1])."""
+        if not self.save_this:
+            return
+        img = np.asarray(rgb)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(self._path(name, "png"))
+
+    def summ_rgbs(self, name: str, rgbs: np.ndarray) -> None:
+        """rgbs: [T, H, W, 3] -> mp4 (gif-like video summary)."""
+        if not self.save_this:
+            return
+        save_video(np.asarray(rgbs), self._path(name, "mp4"), fps=self.fps)
+
+    def summ_feat(self, name: str, feat: np.ndarray,
+                  valid: "np.ndarray | None" = None) -> None:
+        """feat: [H, W, C] (or [T, H, W, C]) -> PCA RGB summary."""
+        if not self.save_this:
+            return
+        img = pca_feature_image(feat, valid=valid)
+        if img.ndim == 4:
+            self.summ_rgbs(name, img)
+        else:
+            self.summ_rgb(name, img)
+
+    def summ_oned(self, name: str, x: np.ndarray) -> None:
+        """x: [H, W] scalar map -> normalized grayscale PNG."""
+        if not self.save_this:
+            return
+        x = np.asarray(x, np.float64)
+        lo, hi = x.min(), x.max()
+        img = ((x - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
+        Image.fromarray(img).save(self._path(name, "png"))

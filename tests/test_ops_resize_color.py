@@ -104,3 +104,47 @@ class TestPosemb:
         xy = rng.standard_normal((2, 6, 2)).astype(np.float32)
         out = posemb_sincos_2d_xy(jnp.asarray(xy), 64, cat_coords=True)
         assert out.shape == (2, 6, 66)
+
+
+class TestPCAVizAndSummWriter:
+    """Feature-PCA visualization + disk SummWriter (reference
+    improc.py:26-131, :375 replacement)."""
+
+    def test_pca_feature_image_shapes(self, rng):
+        from sam_pt_tpu.utils.viz import pca_feature_image
+
+        feat = rng.standard_normal((12, 16, 8)).astype(np.float32)
+        img = pca_feature_image(feat)
+        assert img.shape == (12, 16, 3) and img.dtype == np.uint8
+
+        feats = rng.standard_normal((3, 12, 16, 8)).astype(np.float32)
+        imgs = pca_feature_image(feats)
+        assert imgs.shape == (3, 12, 16, 3)
+        # structure must survive: two blocks with distinct features should
+        # map to distinct colors
+        feat2 = np.zeros((10, 10, 6), np.float32)
+        feat2[:5] = rng.standard_normal(6)
+        feat2[5:] = rng.standard_normal(6)
+        img2 = pca_feature_image(feat2 + 0.01 * rng.standard_normal(
+            (10, 10, 6)).astype(np.float32))
+        assert np.abs(img2[:5].mean(axis=(0, 1)).astype(int)
+                      - img2[5:].mean(axis=(0, 1)).astype(int)).max() > 30
+
+    def test_summ_writer(self, tmp_path, rng):
+        from sam_pt_tpu.utils.viz import SummWriter
+
+        sw = SummWriter(str(tmp_path), global_step=4, log_freq=2)
+        assert sw.save_this
+        sw.summ_rgb("rgb", rng.integers(0, 255, size=(8, 8, 3)).astype(
+            np.uint8))
+        sw.summ_feat("feat", rng.standard_normal((8, 8, 5)).astype(
+            np.float32))
+        sw.summ_oned("one", rng.standard_normal((8, 8)))
+        names = sorted(p.name for p in tmp_path.iterdir())
+        assert any("rgb" in n for n in names)
+        assert any("feat" in n for n in names)
+        assert any("one" in n for n in names)
+        # gated off-step writer writes nothing
+        sw2 = SummWriter(str(tmp_path / "off"), global_step=3, log_freq=2)
+        sw2.summ_rgb("rgb", np.zeros((4, 4, 3), np.uint8))
+        assert not list((tmp_path / "off").iterdir())
