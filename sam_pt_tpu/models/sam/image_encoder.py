@@ -148,11 +148,31 @@ class Attention(nn.Module):
         # Large global blocks (the 4096-token SAM grid) go through the fused
         # Pallas kernel: logits stay in VMEM and the rel-pos bias is computed
         # inside the kernel from the raw tables — no [N, N] HBM logits, no
-        # bias tensors, no layout copies. 196-token windows measured
-        # neutral-to-slightly-worse under grouped kernels, so they stay on
-        # the XLA einsum path.
+        # bias tensors, no layout copies. Windowed blocks with lane-padded
+        # heads use the window variant (full within-window bias table shared
+        # across windows, one batched mat-vec per window) — the round-1
+        # grouped kernel that was neutral-to-worse read pre-split q/k/v plus
+        # HBM augmentation concats; reading the raw qkv projection removes
+        # exactly the traffic it was paying.
         use_fused = self.use_rel_pos and h * w >= 1024
-        if use_fused and hdp % 128 == 0:
+        use_fused_win = (
+            self.use_rel_pos and h * w < 1024
+            and self.padded_head_dim is not None and hdp % 128 == 0
+        )
+        if use_fused_win:
+            from ...ops.flash_attention import fused_qkv_window_attention
+
+            rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, hdp]
+            rw = _rel_pos_table(rel_pos_w, w, w)
+            rfull = (
+                rh[:, None, :, None, :] + rw[None, :, None, :, :]
+            ).reshape(h * w, h * w, hdp)
+            out = fused_qkv_window_attention(
+                qkv, rfull.astype(qkv.dtype),
+                scale=scale, heads=self.num_heads,
+            )  # [BW, N, H*hdp]
+            out = out.reshape(b, h, w, self.num_heads * hdp)
+        elif use_fused and hdp % 128 == 0:
             from ...ops.flash_attention import fused_qkv_relpos_attention
 
             rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, hdp]
@@ -351,11 +371,11 @@ class ImageEncoderViT(nn.Module):
         # encoder device time). Padding slots are re-zeroed at each block's
         # attention input, matching the original per-block zero padding.
         interm = None
-        # Global blocks carry the head dim padded to the 128-lane boundary
-        # inside their converted weights (see Attention.padded_head_dim) —
-        # only at real SAM scale (grid >= 32), where the fused kernel runs;
-        # tiny test configs stay unpadded (and the converter mirrors this
-        # via the checkpoint's pos_embed grid).
+        # All blocks (global AND windowed) carry the head dim padded to the
+        # 128-lane boundary inside their converted weights (see
+        # Attention.padded_head_dim) — only at real SAM scale (grid >= 32),
+        # where the fused kernels run; tiny test configs stay unpadded (and
+        # the converter mirrors this via the checkpoint's pos_embed grid).
         head_dim = self.embed_dim // self.num_heads
         pad_hd = (
             ((head_dim + 127) // 128) * 128 if grid >= 32 else None
@@ -396,6 +416,7 @@ class ImageEncoderViT(nn.Module):
                     window_size=self.window_size,
                     input_size=(grid, grid),
                     pre_windowed=True,
+                    padded_head_dim=pad_hd,
                     name=f"blocks_{j}",
                     dtype=self.dtype,
                 )(x, pad_mask)

@@ -429,3 +429,98 @@ def fused_window_attention(
         interpret=interpret,
     )(qg, kg, vg)
     return out.reshape(b, n, dp)[..., :d]
+
+
+def _qkv_window_kernel(q_ref, k_ref, v_ref, rf_ref, o_ref, *, scale, group):
+    """`group` windows × one head per grid step, entirely in VMEM.
+
+    rf_ref: [N, N, Dp] FULL rel-pos bias table for one window
+    (rf[tq, tk] = rh[y_q, y_k] + rw[x_q, x_k]) — shared by every window,
+    single-buffered (constant index map). Everything is a batched matmul
+    with batch dims at index 0 on both sides (the form Mosaic lowers);
+    the bias dot runs in token-major layout (one in-VMEM leading-dim
+    transpose each way) so each of the N batched passes carries `group`
+    rows through the MXU instead of a single mat-vec row."""
+    q = q_ref[...]  # [G, N, Dp]
+    k = k_ref[...]
+    v = v_ref[...]
+    rf = rf_ref[...]  # [N, N, Dp]
+
+    logits = jax.lax.dot_general(
+        (q * scale).astype(q.dtype), k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, N, N]
+
+    q_t = jnp.transpose(q, (1, 0, 2))  # [N, G, Dp]
+    bias_t = jax.lax.dot_general(
+        q_t, rf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [N(tq), G, N(tk)]
+    logits = logits + jnp.transpose(bias_t, (1, 0, 2))
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def fused_qkv_window_attention(
+    qkv: jnp.ndarray,
+    rel_full: jnp.ndarray,
+    *,
+    scale: float,
+    heads: int,
+    group: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Windowed ViT rel-pos attention straight from the fused qkv projection.
+
+    qkv: [BW, N, 3*H*Dp] — qkv Dense output over window-partitioned tokens
+    (BW = batch*windows, N = window*window, Dp = head dim padded to a
+    128-lane multiple in the converted weights). Per-head q/k/v are read by
+    column BlockSpecs from the same array (no head-split transpose in HBM),
+    logits and softmax stay in VMEM, and the rel-pos bias comes from the
+    [N, N, Dp] full within-window table `rel_full` (identical across
+    windows, resident in VMEM across grid steps).
+    Returns [BW, N, H*Dp].
+    """
+    bw, n, chans = qkv.shape
+    dp = chans // (3 * heads)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    if not group:
+        # VMEM budget: the full rel table (bf16 N*N*Dp, ~10 MB at window 14 /
+        # Dp 128) is single-buffered; groups <= 6 keep the f32 logits/bias
+        # within the scoped VMEM limit (group 10 measured OOM, 5 fastest of
+        # the fitting divisors on v5e)
+        group = next(g for g in (6, 5, 4, 3, 2, 1) if bw % g == 0)
+
+    out = pl.pallas_call(
+        functools.partial(_qkv_window_kernel, scale=scale, group=group),
+        grid=(bw // group, heads),
+        in_specs=[
+            pl.BlockSpec((group, n, dp),
+                         lambda wi, hi: (wi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n, dp),
+                         lambda wi, hi: (wi, 0, heads + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n, dp),
+                         lambda wi, hi: (wi, 0, 2 * heads + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n, dp),
+                         lambda wi, hi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, n, dp),
+                               lambda wi, hi: (wi, 0, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, n, heads * dp), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_full)
+    return out

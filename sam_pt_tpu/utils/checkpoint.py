@@ -81,10 +81,6 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": p}
 
 
-_GLOBAL_ATTN_BY_DEPTH = {12: (2, 5, 8, 11), 24: (5, 11, 17, 23),
-                         32: (7, 15, 23, 31)}
-
-
 def _pad_attn_heads(qkv_w, qkv_b, proj_w, rel_h, rel_w, num_heads):
     """Fold the head-dim pad (e.g. 80 -> 128 for ViT-H) into the weights of
     a global-attention block: zero lanes in qkv output columns / proj input
@@ -131,10 +127,10 @@ def _convert_vit_encoder(sd, put):
         if (m := re.match(r"image_encoder\.blocks\.(\d+)\.", k))
     )
     # real-scale checkpoints (grid >= 32, i.e. 1024-pixel SAM) get the head
-    # pad folded into global-attention blocks (matches ImageEncoderViT)
-    global_idx = (
-        set(_GLOBAL_ATTN_BY_DEPTH.get(depth, ())) if grid >= 32 else set()
-    )
+    # pad folded into EVERY block's attention weights (matches
+    # ImageEncoderViT: both the global and the windowed fused kernels read
+    # lane-aligned per-head column slices of the raw qkv projection)
+    pad_all = grid >= 32
     for i in range(depth):
         src = f"image_encoder.blocks.{i}"
         dst = f"image_encoder/blocks_{i}"
@@ -145,7 +141,7 @@ def _convert_vit_encoder(sd, put):
         proj_w = linear_w(sd[f"{src}.attn.proj.weight"])
         rel_h = _t(sd[f"{src}.attn.rel_pos_h"])
         rel_w = _t(sd[f"{src}.attn.rel_pos_w"])
-        if i in global_idx:
+        if pad_all:
             c = qkv_w.shape[0]
             hd = rel_h.shape[-1]
             qkv_w, qkv_b, proj_w, rel_h, rel_w = _pad_attn_heads(

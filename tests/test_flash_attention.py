@@ -216,3 +216,44 @@ class TestQkvRelposKernel:
         np.testing.assert_allclose(
             np.asarray(got).reshape(1, h * w, c), np.asarray(ref), atol=3e-4
         )
+
+
+class TestFusedQkvWindowAttention:
+    """Window variant: bias from the full within-window table, per-head
+    column reads of the raw qkv projection."""
+
+    def test_matches_naive(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_qkv_window_attention
+
+        win, heads, dp, d, bw = 7, 2, 128, 80, 6
+        n = win * win
+        qkv = np.zeros((bw, n, 3 * heads * dp), np.float32)
+        qkv_real = rng.standard_normal((bw, n, 3, heads, d)).astype(
+            np.float32) * 0.4
+        qkv.reshape(bw, n, 3, heads, dp)[..., :d] = qkv_real
+        rh = np.zeros((win, win, dp), np.float32)
+        rw = np.zeros((win, win, dp), np.float32)
+        rh[..., :d] = rng.standard_normal((win, win, d)) * 0.2
+        rw[..., :d] = rng.standard_normal((win, win, d)) * 0.2
+        rfull = (rh[:, None, :, None, :] + rw[None, :, None, :, :]).reshape(
+            n, n, dp)
+        scale = d ** -0.5
+
+        out = fused_qkv_window_attention(
+            jnp.asarray(qkv), jnp.asarray(rfull), scale=scale, heads=heads)
+        out = np.asarray(out).reshape(bw, n, heads, dp)[..., :d]
+
+        q = qkv_real[:, :, 0]
+        k = qkv_real[:, :, 1]
+        v = qkv_real[:, :, 2]
+        for w in range(bw):
+            for h in range(heads):
+                logits = (q[w, :, h] * scale) @ k[w, :, h].T
+                logits = logits + np.einsum(
+                    "qc,qkc->qk", q[w, :, h], rfull[..., :d])
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                ref = p @ v[w, :, h]
+                np.testing.assert_allclose(
+                    out[w, :, h], ref, atol=2e-3,
+                    err_msg=f"window {w} head {h}")
