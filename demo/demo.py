@@ -133,7 +133,13 @@ def main(cfg) -> dict:
     model.positive_points_per_mask = n_positive
     model.negative_points_per_mask = query_points.shape[1] - n_positive
 
+    import time
+
+    t0 = time.perf_counter()
     outputs = run_inference(model, images, query_points)
+    dt = time.perf_counter() - t0
+    print(f"Inference: {len(images)} frames in {dt:.2f}s "
+          f"({len(images) / dt:.2f} fps, incl. first-call compile)")
 
     out_dir = cfg.get("output_dir", "outputs/demo")
     frames = render_predictions(
