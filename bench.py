@@ -117,6 +117,10 @@ def bench_full_pipeline(n_frames=16, n_masks=3, h=480, w=854):
 
 
 def main():
+    from sam_pt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     try:
         fps = bench_full_pipeline()
         print(

@@ -115,6 +115,10 @@ def run_inference(model, images: np.ndarray, query_points: np.ndarray) -> dict:
 
 
 def main(cfg) -> dict:
+    from sam_pt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     seed_all(cfg.get("seed", 72))
     images = load_frames(
         cfg["frames_path"],

@@ -271,10 +271,16 @@ class Pips(nn.Module):
             ffeat0 = feat_init
         ffeats = jnp.broadcast_to(ffeat0[None], (s, n, c))
 
-        for _ in range(iters):
-            pyramid = correlation_pyramid(fmaps, ffeats, self.corr_levels)
-            fcorrs = sample_corr_pyramid(pyramid, coords, self.corr_radius)
-            lrr = fcorrs.shape[-1]
+        # Refinement iterations share weights, so they run as nn.scan with
+        # params broadcast — the traced graph holds ONE iteration instead of
+        # `iters` copies of the 12-deep mixer. (The unrolled form compiled
+        # in ~13 min through the remote TPU toolchain inside the linking
+        # while-loop; identical numerics, verified by the torch parity
+        # tests.)
+        def refine_step(mdl, carry, _):
+            coords, ffeats = carry
+            pyramid = correlation_pyramid(fmaps, ffeats, mdl.corr_levels)
+            fcorrs = sample_corr_pyramid(pyramid, coords, mdl.corr_radius)
 
             # mixer operates per point: [N, S, *]
             fcorrs_p = jnp.swapaxes(fcorrs, 0, 1)
@@ -285,20 +291,29 @@ class Pips(nn.Module):
             flows_p = jnp.concatenate([flows_p, times], axis=-1)
             ffeats_p = jnp.swapaxes(ffeats, 0, 1)  # [N, S, C]
 
-            delta = self.delta_block(ffeats_p, fcorrs_p, flows_p)  # [N, S, C+2]
+            delta = mdl.delta_block(ffeats_p, fcorrs_p, flows_p)  # [N, S, C+2]
             delta_coords = jnp.swapaxes(delta[..., :2], 0, 1)  # [S, N, 2]
             delta_feats = delta[..., 2:]  # [N, S, C]
 
             # feature update: GELU(Linear(norm(delta))) + ffeats
             # (reference pips.py:428-431, 536-538)
             upd = nn.gelu(
-                self.ffeat_updater(self.ffeat_norm(delta_feats)),
+                mdl.ffeat_updater(mdl.ffeat_norm(delta_feats)),
                 approximate=False,
             )
             ffeats = jnp.swapaxes(upd, 0, 1) + ffeats
 
             coords = coords + delta_coords
             coords = coords.at[0].set(coords0)  # lock query frame
+            return (coords, ffeats), None
+
+        scan = nn.scan(
+            refine_step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )
+        (coords, ffeats), _ = scan(self, (coords, ffeats), None)
 
         vis_logits = self.vis_predictor(ffeats)[..., 0]  # [S, N]
         return coords * float(self.stride), vis_logits, ffeat0

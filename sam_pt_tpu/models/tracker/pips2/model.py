@@ -129,6 +129,7 @@ class PipsPlusPlus(nn.Module):
         feat_init: Optional[Tuple] = None,
         iters: int = 16,
     ):
+        fmaps = jnp.asarray(fmaps)  # scan body indexes with traced frame ids
         s, h8, w8, c = fmaps.shape
         n = coords_init.shape[1]
 
@@ -157,25 +158,43 @@ class PipsPlusPlus(nn.Module):
                 )
             )(fmaps_d, coords_d)  # [S, N, C]
 
-        for itr in range(iters):
-            if itr >= 1:
-                feats2 = sample_delayed_feats(coords, 2)
-                feats4 = sample_delayed_feats(coords, 4)
-            pyr2 = correlation_pyramid(fmaps, feats2, self.corr_levels)
-            pyr4 = correlation_pyramid(fmaps, feats4, self.corr_levels)
+        # Weight-shared iterations run as nn.scan (one traced copy of the
+        # 1D-conv DeltaBlock instead of `iters`); the reference's
+        # first-iteration special case (keep the provided feats2/feats4,
+        # pips_plus_plus.py itr>=1 guard) becomes a per-iteration select on
+        # a scanned boolean — both operands are cheap bilinear samples.
+        def refine_step(mdl, carry, resample):
+            coords, feats2, feats4 = carry
+            feats2 = jnp.where(
+                resample, sample_delayed_feats(coords, 2), feats2)
+            feats4 = jnp.where(
+                resample, sample_delayed_feats(coords, 4), feats4)
+            pyr2 = correlation_pyramid(fmaps, feats2, mdl.corr_levels)
+            pyr4 = correlation_pyramid(fmaps, feats4, mdl.corr_levels)
 
-            fc1 = sample_corr_pyramid(pyr1, coords, self.corr_radius)
-            fc2 = sample_corr_pyramid(pyr2, coords, self.corr_radius)
-            fc4 = sample_corr_pyramid(pyr4, coords, self.corr_radius)
+            fc1 = sample_corr_pyramid(pyr1, coords, mdl.corr_radius)
+            fc2 = sample_corr_pyramid(pyr2, coords, mdl.corr_radius)
+            fc4 = sample_corr_pyramid(pyr4, coords, mdl.corr_radius)
             fcorr = jnp.concatenate([fc1, fc2, fc4], axis=-1)  # [S, N, 3*LRR]
 
             flows = coords[1:] - coords[:-1]
             flows = jnp.concatenate([flows, flows[-1:]], axis=0)  # [S, N, 2]
 
-            delta = self.delta_block(
+            delta = mdl.delta_block(
                 jnp.swapaxes(fcorr, 0, 1), jnp.swapaxes(flows, 0, 1)
             )  # [N, S, 2]
             coords = coords + jnp.swapaxes(delta, 0, 1)
             coords = coords.at[0].set(coords0)  # lock the query frame
+            return (coords, feats2, feats4), None
+
+        scan = nn.scan(
+            refine_step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+        )
+        resample = jnp.arange(iters) >= 1
+        (coords, feats2, feats4), _ = scan(
+            self, (coords, feats2, feats4), resample
+        )
 
         return coords * float(self.stride), (feats1, feats2, feats4)

@@ -255,11 +255,25 @@ class Raft(nn.Module):
         )
         coords1 = coords0
 
-        flow_up = jnp.zeros((b, h, w, 2), jnp.float32)
-        for _ in range(iters):
-            corr = lookup_correlation(pyramid, coords1, self.corr_radius)
+        # The ConvGRU iterations share weights -> nn.scan with params
+        # broadcast (one iteration in the traced graph instead of 32), and
+        # the convex upsample runs ONCE on the final flow — the reference
+        # upsamples every iteration (raft.py training supervision) but only
+        # the last flow is returned at inference.
+        mask0 = jnp.zeros((b, h8, w8, 8 * 8 * 9), jnp.float32)
+
+        def update_step(mdl, carry, _):
+            net, coords1, _ = carry
+            corr = lookup_correlation(pyramid, coords1, mdl.corr_radius)
             flow = coords1 - coords0
-            net, mask, delta = self.update_block(net, inp, corr, flow)
-            coords1 = coords1 + delta
-            flow_up = convex_upsample(coords1 - coords0, mask)
-        return flow_up
+            net, mask, delta = mdl.update_block(net, inp, corr, flow)
+            return (net, coords1 + delta, mask), None
+
+        scan = nn.scan(
+            update_step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )
+        (net, coords1, mask), _ = scan(self, (net, coords1, mask0), None)
+        return convex_upsample(coords1 - coords0, mask)

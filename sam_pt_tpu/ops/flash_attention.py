@@ -474,6 +474,7 @@ def fused_qkv_window_attention(
     scale: float,
     heads: int,
     group: int = 0,
+    q_tile: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Windowed ViT rel-pos attention straight from the fused qkv projection.
@@ -484,7 +485,12 @@ def fused_qkv_window_attention(
     column BlockSpecs from the same array (no head-split transpose in HBM),
     logits and softmax stay in VMEM, and the rel-pos bias comes from the
     [N, N, Dp] full within-window table `rel_full` (identical across
-    windows, resident in VMEM across grid steps).
+    windows). With `q_tile` < N the rel table and q are additionally tiled
+    over query tokens (keys stay whole, so softmax rows remain complete),
+    trading table residency for a bigger window group. NOTE: partial blocks
+    need a sublane-aligned (x8) second-to-last dim, and 196 (window 14) has
+    no such divisor — q_tile is only usable for window sizes whose token
+    count has a multiple-of-8 divisor (e.g. 16x16).
     Returns [BW, N, H*Dp].
     """
     bw, n, chans = qkv.shape
@@ -499,26 +505,27 @@ def fused_qkv_window_attention(
         # within the scoped VMEM limit (group 10 measured OOM, 5 fastest of
         # the fitting divisors on v5e)
         group = next(g for g in (6, 5, 4, 3, 2, 1) if bw % g == 0)
+    tq = q_tile if (q_tile and n % q_tile == 0 and q_tile < n) else n
 
     out = pl.pallas_call(
         functools.partial(_qkv_window_kernel, scale=scale, group=group),
-        grid=(bw // group, heads),
+        grid=(bw // group, n // tq, heads),
         in_specs=[
-            pl.BlockSpec((group, n, dp),
-                         lambda wi, hi: (wi, 0, hi),
+            pl.BlockSpec((group, tq, dp),
+                         lambda wi, qi, hi: (wi, qi, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, n, dp),
-                         lambda wi, hi: (wi, 0, heads + hi),
+                         lambda wi, qi, hi: (wi, 0, heads + hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group, n, dp),
-                         lambda wi, hi: (wi, 0, 2 * heads + hi),
+                         lambda wi, qi, hi: (wi, 0, 2 * heads + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n, dp),
-                         lambda wi, hi: (0, 0, 0),
+            pl.BlockSpec((tq, n, dp),
+                         lambda wi, qi, hi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group, n, dp),
-                               lambda wi, hi: (wi, 0, hi),
+        out_specs=pl.BlockSpec((group, tq, dp),
+                               lambda wi, qi, hi: (wi, qi, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bw, n, heads * dp), qkv.dtype),
         interpret=interpret,

@@ -50,6 +50,10 @@ def predictions_to_records(output: Dict, video_id: int) -> List[Dict]:
 
 
 def evaluate(cfg) -> Dict:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     seed_all(cfg.get("seed", 72))
 
     json_file, image_root, class_agnostic = resolve_dataset(

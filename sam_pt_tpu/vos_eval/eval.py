@@ -162,6 +162,10 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
 
 
 def evaluate(cfg) -> Dict:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     seed_all(cfg.get("seed", 72))
 
     meta_dataset = build_dataset(cfg)

@@ -35,6 +35,10 @@ def median_time(fn, reps):
 
 
 def main():
+    from sam_pt_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--masks", type=int, default=3)

@@ -257,3 +257,19 @@ class TestFusedQkvWindowAttention:
                 np.testing.assert_allclose(
                     out[w, :, h], ref, atol=2e-3,
                     err_msg=f"window {w} head {h}")
+
+    def test_q_tiled_matches_untiled(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_qkv_window_attention
+
+        win, heads, dp, bw = 7, 2, 128, 8
+        n = win * win
+        qkv = jnp.asarray(
+            rng.standard_normal((bw, n, 3 * heads * dp)).astype(np.float32)
+            * 0.2)
+        rfull = jnp.asarray(
+            rng.standard_normal((n, n, dp)).astype(np.float32) * 0.1)
+        a = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads)
+        b = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads,
+                                       group=8, q_tile=7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
