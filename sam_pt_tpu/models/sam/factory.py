@@ -16,6 +16,7 @@ import numpy as np
 
 from .predictor import SamPredictor
 from .sam_model import Sam
+from ...utils.util import jitted_init
 
 _DTYPES = {
     "float32": jnp.float32,
@@ -68,7 +69,7 @@ def build_predictor(
         imgs = jnp.zeros((1, image_size, image_size, 3))
         pts = jnp.zeros((1, 2, 2))
         lbl = jnp.zeros((1, 2), jnp.int32)
-        params = model.init(jax.random.PRNGKey(seed), imgs, pts, lbl)
+        params = jitted_init(model, jax.random.PRNGKey(seed), imgs, pts, lbl)
     else:
         raise FileNotFoundError(
             f"SAM checkpoint not found: {checkpoint} "

@@ -25,6 +25,7 @@ from ..api import PointTracker
 from .model import CoTracker
 from ....ops.resize import resize_bilinear
 from ....ops.sampling import bilinear_sample
+from ....utils.util import jitted_init
 
 
 def get_points_on_a_grid(grid_size: int, extent_hw) -> np.ndarray:
@@ -109,8 +110,8 @@ class CoTrackerPointTracker(PointTracker):
             mod.encode_frames(rgbs)
             return mod(fmaps, coords, feats, tm, iters=1)
 
-        self.params = self.model.init(
-            key, rgbs, fmaps, coords, feats, tm, method=_init_all
+        self.params = jitted_init(
+            self.model, key, rgbs, fmaps, coords, feats, tm, method=_init_all
         )
         return self.params
 

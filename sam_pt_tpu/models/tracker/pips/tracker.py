@@ -32,6 +32,7 @@ import numpy as np
 from ..api import PointTracker
 from .model import Pips
 from ....ops.sampling import bilinear_sample
+from ....utils.util import jitted_init
 
 
 class PipsPointTracker(PointTracker):
@@ -110,7 +111,8 @@ class PipsPointTracker(PointTracker):
             mod.encode_frames(rgbs)  # create fnet params too
             return mod(fmaps, xys, iters=1)
 
-        self.params = self.model.init(key, rgbs, fmaps, xys, method=_init_all)
+        self.params = jitted_init(self.model, key, rgbs, fmaps, xys,
+                                  method=_init_all)
         return self.params
 
     # -- main API -------------------------------------------------------

@@ -27,6 +27,7 @@ import numpy as np
 from ..api import PointTracker
 from .model import PipsPlusPlus
 from ....ops.resize import resize_bilinear
+from ....utils.util import jitted_init
 
 
 class PipsPlusPlusPointTracker(PointTracker):
@@ -84,8 +85,8 @@ class PipsPlusPlusPointTracker(PointTracker):
             mod.encode_frames(rgbs)
             return mod(fmaps, coords, None, iters=2)
 
-        self.params = self.model.init(key, rgbs, fmaps, coords,
-                                      method=_init_all)
+        self.params = jitted_init(self.model, key, rgbs, fmaps, coords,
+                                  method=_init_all)
         return self.params
 
     def _encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:

@@ -21,6 +21,7 @@ import numpy as np
 from ..api import PointTracker
 from .model import Raft
 from ....ops.sampling import bilinear_sample_nchw
+from ....utils.util import jitted_init
 
 
 class RaftPointTracker(PointTracker):
@@ -55,7 +56,7 @@ class RaftPointTracker(PointTracker):
 
     def init_params(self, key, height: int = 64, width: int = 64):
         img = jnp.zeros((1, height, width, 3))
-        self.params = self.model.init(key, img, img, iters=1)
+        self.params = jitted_init(self.model, key, img, img, iters=1)
         return self.params
 
     def _compute_flows(self, frames: np.ndarray):

@@ -25,6 +25,7 @@ from ..api import PointTracker
 from .superglue import SuperGlue
 from .superpoint import SuperPoint
 from ....ops.color import rgb_to_gray
+from ....utils.util import jitted_init
 
 
 class SuperGluePointTracker(PointTracker):
@@ -92,7 +93,7 @@ class SuperGluePointTracker(PointTracker):
 
     def init_params(self, key, height: int = 64, width: int = 64):
         k1, k2 = jax.random.split(key)
-        sp = self.superpoint.init(k1, jnp.zeros((height, width)))
+        sp = jitted_init(self.superpoint, k1, jnp.zeros((height, width)))
         k = self.superpoint.max_keypoints
         data = {
             "keypoints0": jnp.zeros((k, 2)),
@@ -105,7 +106,7 @@ class SuperGluePointTracker(PointTracker):
             "descriptors1": jnp.zeros((k, 256)),
             "image_shape": (height, width),
         }
-        sg = self.superglue.init(k2, data)
+        sg = jitted_init(self.superglue, k2, data)
         self.params = {"superpoint": sp, "superglue": sg}
         return self.params
 

@@ -22,6 +22,7 @@ import numpy as np
 from ..api import PointTracker
 from .model import TAPIR, TRAIN_SIZE
 from ....ops.resize import resize_bilinear
+from ....utils.util import jitted_init
 
 
 class TapirPointTracker(PointTracker):
@@ -59,7 +60,7 @@ class TapirPointTracker(PointTracker):
     def init_params(self, key, t: int = 2, n_points: int = 4):
         video = jnp.zeros((t, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))
         qp = jnp.zeros((n_points, 3))
-        self.params = self.model.init(key, video, qp)
+        self.params = jitted_init(self.model, key, video, qp)
         return self.params
 
     def forward(self, rgbs: np.ndarray, query_points: np.ndarray):
@@ -166,7 +167,7 @@ class OnlineTapirPointTracker:
         if self.params is None:
             video = jnp.zeros((1, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))
             qp = jnp.zeros((len(query_xy), 3))
-            self.params = self.model.init(jax.random.PRNGKey(0), video, qp)
+            self.params = jitted_init(self.model, jax.random.PRNGKey(0), video, qp)
         h, w = frame.shape[:2]
         q_tyx = np.stack(
             [np.zeros(len(query_xy)),

@@ -16,6 +16,7 @@ import numpy as np
 from ..api import PointTracker
 from .model import TAPNet, TRAIN_SIZE
 from ....ops.resize import resize_bilinear
+from ....utils.util import jitted_init
 
 
 class TapNetPointTracker(PointTracker):
@@ -52,7 +53,7 @@ class TapNetPointTracker(PointTracker):
     def init_params(self, key, t: int = 2, n_points: int = 4):
         video = jnp.zeros((t, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))
         qp = jnp.zeros((n_points, 3))
-        self.params = self.model.init(key, video, qp)
+        self.params = jitted_init(self.model, key, video, qp)
         return self.params
 
     def forward(self, rgbs: np.ndarray, query_points: np.ndarray):

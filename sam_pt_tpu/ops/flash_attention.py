@@ -441,30 +441,35 @@ def _qkv_window_kernel(q_ref, k_ref, v_ref, rf_ref, o_ref, *, scale, group):
     the bias dot runs in token-major layout (one in-VMEM leading-dim
     transpose each way) so each of the N batched passes carries `group`
     rows through the MXU instead of a single mat-vec row."""
-    q = q_ref[...]  # [G, N, Dp]
-    k = k_ref[...]
-    v = v_ref[...]
-    rf = rf_ref[...]  # [N, N, Dp]
+    rf = rf_ref[...]  # [TQ, N, Dp]
+    dp = rf.shape[-1]
+    hh = q_ref.shape[-1] // dp  # heads handled per grid step
 
-    logits = jax.lax.dot_general(
-        (q * scale).astype(q.dtype), k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [G, N, N]
+    for h in range(hh):  # static unroll; per-head slices are lane-aligned
+        sl = slice(h * dp, (h + 1) * dp)
+        q = q_ref[..., sl]  # [G, TQ, Dp]
+        k = k_ref[..., sl]  # [G, N, Dp]
+        v = v_ref[..., sl]
 
-    q_t = jnp.transpose(q, (1, 0, 2))  # [N, G, Dp]
-    bias_t = jax.lax.dot_general(
-        q_t, rf, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [N(tq), G, N(tk)]
-    logits = logits + jnp.transpose(bias_t, (1, 0, 2))
+        logits = jax.lax.dot_general(
+            (q * scale).astype(q.dtype), k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, TQ, N]
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[...] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+        q_t = jnp.transpose(q, (1, 0, 2))  # [TQ, G, Dp]
+        bias_t = jax.lax.dot_general(
+            q_t, rf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, G, N]
+        logits = logits + jnp.transpose(bias_t, (1, 0, 2))
+
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[..., sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def fused_qkv_window_attention(
@@ -475,6 +480,7 @@ def fused_qkv_window_attention(
     heads: int,
     group: int = 0,
     q_tile: int = 0,
+    heads_per_step: int = 1,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Windowed ViT rel-pos attention straight from the fused qkv projection.
@@ -506,25 +512,28 @@ def fused_qkv_window_attention(
         # the fitting divisors on v5e)
         group = next(g for g in (6, 5, 4, 3, 2, 1) if bw % g == 0)
     tq = q_tile if (q_tile and n % q_tile == 0 and q_tile < n) else n
+    if heads_per_step <= 0 or heads % heads_per_step:
+        heads_per_step = 1
+    hh = heads_per_step
 
     out = pl.pallas_call(
         functools.partial(_qkv_window_kernel, scale=scale, group=group),
-        grid=(bw // group, n // tq, heads),
+        grid=(bw // group, n // tq, heads // hh),
         in_specs=[
-            pl.BlockSpec((group, tq, dp),
+            pl.BlockSpec((group, tq, hh * dp),
                          lambda wi, qi, hi: (wi, qi, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n, dp),
-                         lambda wi, qi, hi: (wi, 0, heads + hi),
+            pl.BlockSpec((group, n, hh * dp),
+                         lambda wi, qi, hi: (wi, 0, heads // hh + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n, dp),
-                         lambda wi, qi, hi: (wi, 0, 2 * heads + hi),
+            pl.BlockSpec((group, n, hh * dp),
+                         lambda wi, qi, hi: (wi, 0, 2 * (heads // hh) + hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tq, n, dp),
                          lambda wi, qi, hi: (qi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group, tq, dp),
+        out_specs=pl.BlockSpec((group, tq, hh * dp),
                                lambda wi, qi, hi: (wi, qi, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bw, n, heads * dp), qkv.dtype),

@@ -14,6 +14,7 @@ from ..models.sam.predictor import SamPredictor
 from ..models.sam_pt import SamPt
 from ..models.tracker.pips.model import Pips
 from ..models.tracker.pips.tracker import PipsPointTracker
+from .util import jitted_init
 
 TINY_VIT = dict(embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,),
                 window_size=2)
@@ -25,7 +26,7 @@ def build_tiny_sam(image_size: int = 64, seed: int = 0):
     imgs = jnp.zeros((1, image_size, image_size, 3))
     pts = jnp.zeros((1, 2, 2))
     lbl = jnp.zeros((1, 2), jnp.int32)
-    params = model.init(jax.random.PRNGKey(seed), imgs, pts, lbl)
+    params = jitted_init(model, jax.random.PRNGKey(seed), imgs, pts, lbl)
     return model, params
 
 

@@ -60,3 +60,18 @@ def batchify_list(data: Sequence[T], batch_size: int) -> List[List[T]]:
 def round_up(x: int, multiple: int) -> int:
     """Round x up to the nearest multiple (TPU tile-alignment helper)."""
     return ((x + multiple - 1) // multiple) * multiple
+
+
+def jitted_init(module, key, *args, **kwargs):
+    """Run a flax/haiku `init` as ONE compiled program.
+
+    Eager `module.init(...)` dispatches every parameter-creation op
+    individually; on a remote-attached accelerator that is thousands of
+    round trips (PIPS random init measured 4-7 MINUTES through the dev
+    tunnel). Jitting the whole init makes it one (persistently cached)
+    program. `args`/`kwargs` are closed over, so static options like
+    `method=` or `iters=` pass through unchanged.
+    """
+    import jax
+
+    return jax.jit(lambda k: module.init(k, *args, **kwargs))(key)

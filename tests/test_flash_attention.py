@@ -273,3 +273,23 @@ class TestFusedQkvWindowAttention:
                                        group=8, q_tile=7)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_heads_per_step_matches(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_qkv_window_attention
+
+        win, heads, dp, bw = 7, 4, 128, 6
+        n = win * win
+        qkv = jnp.asarray(
+            rng.standard_normal((bw, n, 3 * heads * dp)).astype(np.float32)
+            * 0.2)
+        rfull = jnp.asarray(
+            rng.standard_normal((n, n, dp)).astype(np.float32) * 0.1)
+        a = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads)
+        b = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads,
+                                       heads_per_step=2)
+        c = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads,
+                                       heads_per_step=4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)
