@@ -151,6 +151,43 @@ class TestEndToEndEval:
         outs = os.listdir(tmp_path / "out" / "vid0")
         assert len(outs) == 4
 
+    def test_synthetic_davis_data_parallel(self, tmp_path):
+        """The whole harness with the model sharded over the 8-device mesh
+        (model.data_parallel=true) must match the unsharded scores."""
+        from sam_pt_tpu.vos_eval.eval import evaluate
+
+        davis_root = tmp_path / "DAVIS2017"
+        fabricate_davis(str(davis_root))
+
+        def run(dp, out):
+            cfg = {
+                "seed": 72,
+                "dataset": "D17",
+                "split": "val",
+                "size": 480,
+                "longest_size": None,
+                "d17_path": str(davis_root),
+                "output": str(tmp_path / out),
+                "save_all": False,
+                "masks_batch_size": 100,
+                "max_videos": None,
+                "max_frames": None,
+                "vid_ids": None,
+                "score": True,
+                "model": {
+                    "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
+                    "height": 48,
+                    "width": 64,
+                    "data_parallel": dp,
+                },
+            }
+            return evaluate(cfg)
+
+        plain = run(False, "out_plain")
+        sharded = run(True, "out_dp")
+        assert sharded["J&F-Mean"] == pytest.approx(
+            plain["J&F-Mean"], abs=1e-3)
+
     def test_scoring_on_perfect_prediction(self, tmp_path):
         """Copy GT as the 'result' -> J&F must be 1."""
         from sam_pt_tpu.vos_eval.davis2017eval import Davis2017Evaluator
