@@ -99,21 +99,30 @@ def bench_full_pipeline(n_frames=16, n_masks=3, h=480, w=854):
         "keep_logits_on_device": True,
     }
 
-    def run_once():
+    def dispatch_once():
         out = sam_pt.forward(video)
-        idx = device_fuse_index_masks(
-            out["logits"], masks, [0] * n_masks
-        )  # uint8 [T, h, w] downloaded — the eval harness's output
-        return idx
+        return device_fuse_index_masks(
+            out["logits"], masks, [0] * n_masks, defer=True
+        )  # fusion dispatched; uint8 download deferred
 
-    run_once()  # compile
-    # median of 3: single-iteration times vary +-15% through the dev tunnel
+    dispatch_once().get()  # compile
+    # The eval harness pipelines videos: video i's uint8 download resolves
+    # while video i+1 computes (vos_eval/eval.py cross-video pipelining).
+    # Measure the same schedule over a 3-video pipeline; median of 3 runs
+    # (single-run times vary +-15% through the dev tunnel).
+    n_videos = 3
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run_once()
+        pending = None
+        for _ in range(n_videos):
+            nxt = dispatch_once()
+            if pending is not None:
+                pending.get()
+            pending = nxt
+        pending.get()
         times.append(time.perf_counter() - t0)
-    return n_frames / sorted(times)[1]
+    return n_videos * n_frames / sorted(times)[1]
 
 
 def main():

@@ -122,6 +122,7 @@ class Attention(nn.Module):
     use_rel_pos: bool = True
     input_size: Optional[Tuple[int, int]] = None  # (H, W) for rel-pos tables
     padded_head_dim: Optional[int] = None
+    fused_window: bool = False  # window kernel at the NATIVE head dim
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -157,18 +158,16 @@ class Attention(nn.Module):
         use_fused = self.use_rel_pos and h * w >= 1024
         use_fused_win = (
             self.use_rel_pos and h * w < 1024
-            and self.padded_head_dim is not None and hdp % 128 == 0
+            and (self.fused_window
+                 or (self.padded_head_dim is not None and hdp % 128 == 0))
         )
         if use_fused_win:
             from ...ops.flash_attention import fused_qkv_window_attention
 
             rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, hdp]
             rw = _rel_pos_table(rel_pos_w, w, w)
-            rfull = (
-                rh[:, None, :, None, :] + rw[None, :, None, :, :]
-            ).reshape(h * w, h * w, hdp)
             out = fused_qkv_window_attention(
-                qkv, rfull.astype(qkv.dtype),
+                qkv, rh.astype(qkv.dtype), rw.astype(qkv.dtype),
                 scale=scale, heads=self.num_heads,
             )  # [BW, N, H*hdp]
             out = out.reshape(b, h, w, self.num_heads * hdp)
@@ -290,6 +289,7 @@ class Block(nn.Module):
     input_size: Optional[Tuple[int, int]] = None
     pre_windowed: bool = False
     padded_head_dim: Optional[int] = None
+    fused_window: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -315,6 +315,7 @@ class Block(nn.Module):
             num_heads=self.num_heads,
             input_size=attn_size,
             padded_head_dim=self.padded_head_dim,
+            fused_window=self.fused_window,
             name="attn",
             dtype=self.dtype,
         )(x)
@@ -371,11 +372,14 @@ class ImageEncoderViT(nn.Module):
         # encoder device time). Padding slots are re-zeroed at each block's
         # attention input, matching the original per-block zero padding.
         interm = None
-        # All blocks (global AND windowed) carry the head dim padded to the
-        # 128-lane boundary inside their converted weights (see
-        # Attention.padded_head_dim) — only at real SAM scale (grid >= 32),
-        # where the fused kernels run; tiny test configs stay unpadded (and
-        # the converter mirrors this via the checkpoint's pos_embed grid).
+        # GLOBAL blocks carry the head dim padded to the 128-lane boundary
+        # inside their converted weights (see Attention.padded_head_dim);
+        # WINDOW blocks keep the NATIVE head dim — their kernel reads head
+        # groups sized to a 128-lane multiple and slices per head in VMEM,
+        # so the 80->128 pad (60% extra qkv compute + HBM traffic at ViT-H)
+        # is only paid on the 4 global layers. Real SAM scale (grid >= 32)
+        # only; tiny test configs use the naive paths (and the converter
+        # mirrors this split via the checkpoint's pos_embed grid).
         head_dim = self.embed_dim // self.num_heads
         pad_hd = (
             ((head_dim + 127) // 128) * 128 if grid >= 32 else None
@@ -416,7 +420,8 @@ class ImageEncoderViT(nn.Module):
                     window_size=self.window_size,
                     input_size=(grid, grid),
                     pre_windowed=True,
-                    padded_head_dim=pad_hd,
+                    padded_head_dim=None,
+                    fused_window=pad_hd is not None,
                     name=f"blocks_{j}",
                     dtype=self.dtype,
                 )(x, pad_mask)

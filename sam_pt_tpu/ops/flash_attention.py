@@ -431,56 +431,74 @@ def fused_window_attention(
     return out.reshape(b, n, dp)[..., :d]
 
 
-def _qkv_window_kernel(q_ref, k_ref, v_ref, rf_ref, o_ref, *, scale, group):
+def _qkv_window_kernel(q_ref, k_ref, v_ref, wb_ref, sel_ref, ohk_ref, o_ref,
+                       *, scale, group):
     """`group` windows × one head per grid step, entirely in VMEM.
 
-    rf_ref: [N, N, Dp] FULL rel-pos bias table for one window
-    (rf[tq, tk] = rh[y_q, y_k] + rw[x_q, x_k]) — shared by every window,
-    single-buffered (constant index map). Everything is a batched matmul
-    with batch dims at index 0 on both sides (the form Mosaic lowers);
-    the bias dot runs in token-major layout (one in-VMEM leading-dim
-    transpose each way) so each of the N batched passes carries `group`
-    rows through the MXU instead of a single mat-vec row."""
-    rf = rf_ref[...]  # [TQ, N, Dp]
-    dp = rf.shape[-1]
+    Decomposed rel-pos bias via compact matmuls + static masks. The naive
+    per-window bias dot is N batched mat-vecs ([G, Dp] x [Dp, N] per token)
+    — ~2% MXU row utilization and 3/4 of the kernel's time. Instead:
+
+        ab[i, y*W + yk]   = q_i . rh[y, yk]          (ALL rows y at once)
+        ab               *= sel  (static: keep y == y_i block)
+        bias[i, j]        = ab @ ohk  (static one-hot: yk == y_j)
+
+    Both matmuls are well shaped ([N, Dp] x [Dp, 2W²] and [N, 2W²] x
+    [2W², N]) — ~2.7x fewer MXU tile-ops than the batched mat-vec, and the
+    10 MB [N, N, Dp] full table is gone from VMEM (tables here are ~0.5 MB).
+    The masked ab is cast to the input dtype before the expansion matmul:
+    one extra bf16 rounding of the final bias value, inside the noise of the
+    bf16 q/k inputs themselves (f32 runs are unaffected — no-op cast)."""
+    wb = wb_ref[...]   # [Dp, 2*W*W]
+    sel = sel_ref[...]  # [N, 2*W*W] f32 0/1
+    ohk = ohk_ref[...]  # [2*W*W, N] input dtype 0/1
+    dp = wb.shape[0]
     hh = q_ref.shape[-1] // dp  # heads handled per grid step
 
-    for h in range(hh):  # static unroll; per-head slices are lane-aligned
+    # Per-head lane slices at dp offsets. dp need NOT be 128-aligned:
+    # Mosaic lowers unaligned in-VMEM lane slices (measured no slower than
+    # aligned ones), which is what lets the encoder keep its native head
+    # dim (e.g. 80 for ViT-H) instead of padding 80 -> 128 — the HBM block
+    # is a group of `hh` heads sized to a 128-lane multiple.
+    for h in range(hh):  # static unroll
         sl = slice(h * dp, (h + 1) * dp)
-        q = q_ref[..., sl]  # [G, TQ, Dp]
-        k = k_ref[..., sl]  # [G, N, Dp]
-        v = v_ref[..., sl]
+        for g in range(group):
+            q = q_ref[g, :, sl]  # [N, Dp]
+            k = k_ref[g, :, sl]
+            v = v_ref[g, :, sl]
 
-        logits = jax.lax.dot_general(
-            (q * scale).astype(q.dtype), k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [G, TQ, N]
+            ab = jax.lax.dot_general(
+                q, wb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, 2W²]
+            ab = (ab * sel).astype(q.dtype)
+            bias = jax.lax.dot_general(
+                ab, ohk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, N]
 
-        q_t = jnp.transpose(q, (1, 0, 2))  # [TQ, G, Dp]
-        bias_t = jax.lax.dot_general(
-            q_t, rf, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TQ, G, N]
-        logits = logits + jnp.transpose(bias_t, (1, 0, 2))
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias
 
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[..., sl] = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[g, :, sl] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
 
 
 def fused_qkv_window_attention(
     qkv: jnp.ndarray,
-    rel_full: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
     *,
     scale: float,
     heads: int,
     group: int = 0,
-    q_tile: int = 0,
-    heads_per_step: int = 1,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Windowed ViT rel-pos attention straight from the fused qkv projection.
@@ -489,54 +507,81 @@ def fused_qkv_window_attention(
     (BW = batch*windows, N = window*window, Dp = head dim padded to a
     128-lane multiple in the converted weights). Per-head q/k/v are read by
     column BlockSpecs from the same array (no head-split transpose in HBM),
-    logits and softmax stay in VMEM, and the rel-pos bias comes from the
-    [N, N, Dp] full within-window table `rel_full` (identical across
-    windows). With `q_tile` < N the rel table and q are additionally tiled
-    over query tokens (keys stay whole, so softmax rows remain complete),
-    trading table residency for a bigger window group. NOTE: partial blocks
-    need a sublane-aligned (x8) second-to-last dim, and 196 (window 14) has
-    no such divisor — q_tile is only usable for window sizes whose token
-    count has a multiple-of-8 divisor (e.g. 16x16).
+    logits and softmax stay in VMEM.
+    rel_h, rel_w: [W, W, Dp] resolved rel-pos tables for the window
+    (rel_h[y_q, y_k] = Rh row); the bias q_i . (rel_h[y_i, y_j] +
+    rel_w[x_i, x_j]) is computed in-kernel via compact matmuls against
+    static selection/one-hot masks (see `_qkv_window_kernel`).
     Returns [BW, N, H*Dp].
     """
     bw, n, chans = qkv.shape
     dp = chans // (3 * heads)
+    win = rel_h.shape[0]
+    assert win * win == n and rel_w.shape[0] == win, (rel_h.shape, n)
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
-    if not group:
-        # VMEM budget: the full rel table (bf16 N*N*Dp, ~10 MB at window 14 /
-        # Dp 128) is single-buffered; groups <= 6 keep the f32 logits/bias
-        # within the scoped VMEM limit (group 10 measured OOM, 5 fastest of
-        # the fitting divisors on v5e)
-        group = next(g for g in (6, 5, 4, 3, 2, 1) if bw % g == 0)
-    tq = q_tile if (q_tile and n % q_tile == 0 and q_tile < n) else n
-    if heads_per_step <= 0 or heads % heads_per_step:
-        heads_per_step = 1
-    hh = heads_per_step
+    # Mosaic HBM->VMEM blocks need a 128-divisible last dim: group the
+    # smallest run of heads whose combined width hits a 128-lane multiple
+    # (1 head at dp=128; 8 heads at ViT-H's native dp=80) and slice
+    # per-head inside the kernel (unaligned VMEM lane slices lower fine).
+    hb = 128 // np.gcd(dp, 128)
+    assert heads % hb == 0, (heads, dp)
 
+    if not group:
+        # VMEM: 4 arrays x group*n*hb*dp bf16, double-buffered; ~12 MB budget
+        per_win = n * hb * dp * 2 * 4 * 2
+        budget = 12 * 1024 * 1024
+        group = next(
+            (g for g in (10, 8, 6, 5, 4, 3, 2, 1)
+             if bw % g == 0 and g * per_win <= budget), 1)
+
+    nb = win * win
+    # wb[d, y*W + yk] = rel_h[y, yk, d]  (h block), same for w block
+    wb = jnp.concatenate(
+        [rel_h.reshape(nb, dp).T, rel_w.reshape(nb, dp).T], axis=1
+    ).astype(qkv.dtype)  # [Dp, 2*W*W]
+
+    ys = np.arange(n) // win
+    xs = np.arange(n) % win
+    blk = np.arange(nb) // win   # y (or x) of each table lane
+    within = np.arange(nb) % win  # yk (or xk) of each table lane
+    sel = np.concatenate(
+        [(ys[:, None] == blk[None, :]), (xs[:, None] == blk[None, :])], axis=1
+    ).astype(np.float32)  # [N, 2W²]
+    ohk = np.concatenate(
+        [(within[:, None] == ys[None, :]), (within[:, None] == xs[None, :])],
+        axis=0,
+    ).astype(np.float32)  # [2W², N]
+    sel = jnp.asarray(sel)
+    ohk = jnp.asarray(ohk, qkv.dtype)
+
+    nhb = heads // hb  # head-group blocks per q/k/v section
     out = pl.pallas_call(
         functools.partial(_qkv_window_kernel, scale=scale, group=group),
-        grid=(bw // group, n // tq, heads // hh),
+        grid=(bw // group, nhb),
         in_specs=[
-            pl.BlockSpec((group, tq, hh * dp),
-                         lambda wi, qi, hi: (wi, qi, hi),
+            pl.BlockSpec((group, n, hb * dp),
+                         lambda wi, hi: (wi, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n, hh * dp),
-                         lambda wi, qi, hi: (wi, 0, heads // hh + hi),
+            pl.BlockSpec((group, n, hb * dp),
+                         lambda wi, hi: (wi, 0, nhb + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n, hh * dp),
-                         lambda wi, qi, hi: (wi, 0, 2 * (heads // hh) + hi),
+            pl.BlockSpec((group, n, hb * dp),
+                         lambda wi, hi: (wi, 0, 2 * nhb + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, n, dp),
-                         lambda wi, qi, hi: (qi, 0, 0),
+            pl.BlockSpec((dp, 2 * nb), lambda wi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2 * nb), lambda wi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nb, n), lambda wi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group, tq, hh * dp),
-                               lambda wi, qi, hi: (wi, qi, hi),
+        out_specs=pl.BlockSpec((group, n, hb * dp),
+                               lambda wi, hi: (wi, 0, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bw, n, heads * dp), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv, rel_full)
+    )(qkv, qkv, qkv, wb, sel, ohk)
     return out

@@ -126,11 +126,20 @@ def _convert_vit_encoder(sd, put):
         for k in sd
         if (m := re.match(r"image_encoder\.blocks\.(\d+)\.", k))
     )
-    # real-scale checkpoints (grid >= 32, i.e. 1024-pixel SAM) get the head
-    # pad folded into EVERY block's attention weights (matches
-    # ImageEncoderViT: both the global and the windowed fused kernels read
-    # lane-aligned per-head column slices of the raw qkv projection)
-    pad_all = grid >= 32
+    # Real-scale checkpoints (grid >= 32, i.e. 1024-pixel SAM): GLOBAL
+    # attention blocks get the head pad folded into their weights (the
+    # global fused kernel reads lane-aligned per-head column slices of the
+    # raw qkv projection). WINDOW blocks stay at the native head dim — the
+    # window kernel reads head GROUPS sized to a 128-lane multiple and
+    # slices per head in VMEM, so the 80->128 pad (60% extra qkv compute
+    # and HBM traffic at ViT-H) is not paid for the 28 windowed layers.
+    from ..models.sam.image_encoder import VIT_VARIANTS
+
+    global_idx = ()
+    if grid >= 32:
+        for v in VIT_VARIANTS.values():
+            if v["depth"] == depth:
+                global_idx = v["global_attn_indexes"]
     for i in range(depth):
         src = f"image_encoder.blocks.{i}"
         dst = f"image_encoder/blocks_{i}"
@@ -141,7 +150,7 @@ def _convert_vit_encoder(sd, put):
         proj_w = linear_w(sd[f"{src}.attn.proj.weight"])
         rel_h = _t(sd[f"{src}.attn.rel_pos_h"])
         rel_w = _t(sd[f"{src}.attn.rel_pos_w"])
-        if pad_all:
+        if i in global_idx:
             c = qkv_w.shape[0]
             hd = rel_h.shape[-1]
             qkv_w, qkv_b, proj_w, rel_h, rel_w = _pad_attn_heads(

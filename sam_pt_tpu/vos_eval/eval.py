@@ -15,7 +15,7 @@ import os
 import sys
 import time
 from os import path
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +130,28 @@ def _fuse_chunk_jit(chunk_logits, frame_ids, args, _chunk):
     return jnp.argmax(stacked, axis=0).astype(jnp.uint8)  # [F, h, w]
 
 
-def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
+class PendingIndexMasks:
+    """Device-side fused index masks whose uint8 download is deferred.
+
+    Holds the dispatched fusion outputs (device arrays); `get()` downloads
+    and assembles the [T, h, w] uint8 host array. Used by the eval loop to
+    overlap video i's mask download (slow through remote-attached runtimes)
+    with video i+1's compute dispatch."""
+
+    def __init__(self, chunks, t, h, w):
+        self._chunks = chunks  # list of (device_masks, start, end)
+        self._t, self._h, self._w = t, h, w
+
+    def get(self) -> np.ndarray:
+        out = np.zeros((self._t, self._h, self._w), np.uint8)
+        for masks, i, end in self._chunks:
+            out[i:end] = np.asarray(masks)[: end - i]
+        self._chunks = []
+        return out
+
+
+def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16,
+                            defer=False):
     """Fuse per-mask logits into index masks fully ON DEVICE.
 
     logits_dev: [M, T, h, w] float16 (device); gt_masks: [M, h, w] float32;
@@ -138,6 +159,10 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
     query frames (reference eval.py:319-325), then argmax against a zero
     background channel (argmax of the softmax == argmax of the logits), and
     downloads ONLY [T, h, w] uint8 index masks.
+
+    With defer=True, returns a `PendingIndexMasks` whose download happens at
+    `.get()` — the fusion compute is dispatched here, only the host transfer
+    is postponed (cross-video pipelining in the eval loop).
     """
     m, t, h, w = logits_dev.shape
     # upload as uint8: bool host->device transfers take a slow per-element
@@ -146,19 +171,35 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16):
     ts_dev = jnp.asarray(np.asarray(gt_ts, np.int32))
     fuse = _fuse_chunk_jit
 
-    out = np.zeros((t, h, w), np.uint8)
+    chunks = []
     for i in range(0, t, frame_chunk):
         end = min(i + frame_chunk, t)
-        f = end - i
-        pad = frame_chunk - f
+        pad = frame_chunk - end + i
         frame_ids = jnp.asarray(
             np.concatenate([np.arange(i, end), np.full(pad, i)]).astype(np.int32)
         )
         chunk = logits_dev[:, jnp.asarray(np.concatenate(
             [np.arange(i, end), np.full(pad, i)]))]
-        masks = fuse(chunk, frame_ids, (gt_dev, ts_dev), frame_chunk)
-        out[i:end] = np.asarray(masks)[:f]
-    return out
+        chunks.append((fuse(chunk, frame_ids, (gt_dev, ts_dev), frame_chunk),
+                       i, end))
+    pending = PendingIndexMasks(chunks, t, h, w)
+    return pending if defer else pending.get()
+
+
+class _PendingVideo(NamedTuple):
+    """A processed video whose fused-mask download is still in flight."""
+
+    pending: PendingIndexMasks
+    t_frames: int
+    infos: List[dict]
+    mapper: "MaskMapper"
+    palette: object
+    vid_name: str
+    flip: bool
+
+    def resolve_masks(self) -> np.ndarray:
+        masks = self.pending.get()
+        return masks[..., ::-1] if self.flip else masks
 
 
 def evaluate(cfg) -> Dict:
@@ -189,6 +230,20 @@ def evaluate(cfg) -> Dict:
 
     total_process_time = 0.0
     total_frames = 0
+    prev_video: Optional[_PendingVideo] = None  # cross-video pipelining
+
+    def _save_pngs(pv: _PendingVideo, index_masks: np.ndarray) -> None:
+        for ti in range(pv.t_frames):
+            info = pv.infos[ti]
+            if not (save_all or info["save"]):
+                continue
+            out_mask = pv.mapper.remap_index_mask(index_masks[ti])
+            this_out = path.join(out_path, pv.vid_name)
+            os.makedirs(this_out, exist_ok=True)
+            img = Image.fromarray(out_mask)
+            if pv.palette is not None:
+                img.putpalette(pv.palette)
+            img.save(path.join(this_out, info["frame"][:-4] + ".png"))
 
     for vid_id, vid_reader in enumerate(meta_dataset.get_datasets()):
         if vid_ids is not None and vid_id not in vid_ids:
@@ -308,11 +363,28 @@ def evaluate(cfg) -> Dict:
                 if len(device_parts) == 1
                 else jnp.concatenate(device_parts, axis=0)
             )
-            index_masks = device_fuse_index_masks(
-                logits_dev, gt_resized_all, gt_ti_list
+            # dispatch fusion now; defer the uint8 download so it overlaps
+            # the NEXT video's compute. The previous video's download is
+            # resolved here, INSIDE this video's timed region (its transfer
+            # streamed while this video's device work was being dispatched
+            # and executed), so total_process_time still covers every
+            # download — only the serialization is gone.
+            pending = device_fuse_index_masks(
+                logits_dev, gt_resized_all, gt_ti_list, defer=True
             )
-            if cfg.get("flip", False):
-                index_masks = index_masks[..., ::-1]
+            resolved_prev = None
+            if prev_video is not None:
+                resolved_prev = (prev_video, prev_video.resolve_masks())
+            prev_video = _PendingVideo(
+                pending=pending, t_frames=t_frames, infos=infos,
+                mapper=mapper, palette=vid_reader.get_palette(),
+                vid_name=vid_name, flip=bool(cfg.get("flip", False)),
+            )
+            total_process_time += time.perf_counter() - start
+            total_frames += t_frames
+            if resolved_prev is not None:  # PNG writes stay untimed
+                _save_pngs(*resolved_prev)
+            continue
         else:
             logits = np.stack(
                 [np.zeros_like(pred_logits[0])] + pred_logits, axis=1
@@ -361,6 +433,13 @@ def evaluate(cfg) -> Dict:
                         json.dump(
                             {int(k): int(v)
                              for k, v in mapper.remappings.items()}, f)
+
+    if prev_video is not None:  # resolve the last video's deferred download
+        t0 = time.perf_counter()
+        final_masks = prev_video.resolve_masks()
+        total_process_time += time.perf_counter() - t0
+        _save_pngs(prev_video, final_masks)
+        prev_video = None
 
     fps = total_frames / total_process_time if total_process_time > 0 else 0.0
     print(f"Total processing time: {total_process_time:.2f}s")

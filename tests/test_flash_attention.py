@@ -219,8 +219,9 @@ class TestQkvRelposKernel:
 
 
 class TestFusedQkvWindowAttention:
-    """Window variant: bias from the full within-window table, per-head
-    column reads of the raw qkv projection."""
+    """Window variant: decomposed rel-pos bias via compact matmuls + static
+    selection/one-hot masks, per-head column reads of the raw qkv
+    projection."""
 
     def test_matches_naive(self, rng):
         from sam_pt_tpu.ops.flash_attention import fused_qkv_window_attention
@@ -240,7 +241,8 @@ class TestFusedQkvWindowAttention:
         scale = d ** -0.5
 
         out = fused_qkv_window_attention(
-            jnp.asarray(qkv), jnp.asarray(rfull), scale=scale, heads=heads)
+            jnp.asarray(qkv), jnp.asarray(rh), jnp.asarray(rw),
+            scale=scale, heads=heads)
         out = np.asarray(out).reshape(bw, n, heads, dp)[..., :d]
 
         q = qkv_real[:, :, 0]
@@ -258,7 +260,7 @@ class TestFusedQkvWindowAttention:
                     out[w, :, h], ref, atol=2e-3,
                     err_msg=f"window {w} head {h}")
 
-    def test_q_tiled_matches_untiled(self, rng):
+    def test_group_sizes_match(self, rng):
         from sam_pt_tpu.ops.flash_attention import fused_qkv_window_attention
 
         win, heads, dp, bw = 7, 2, 128, 8
@@ -266,30 +268,12 @@ class TestFusedQkvWindowAttention:
         qkv = jnp.asarray(
             rng.standard_normal((bw, n, 3 * heads * dp)).astype(np.float32)
             * 0.2)
-        rfull = jnp.asarray(
-            rng.standard_normal((n, n, dp)).astype(np.float32) * 0.1)
-        a = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads)
-        b = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads,
-                                       group=8, q_tile=7)
+        rh = jnp.asarray(
+            rng.standard_normal((win, win, dp)).astype(np.float32) * 0.1)
+        rw = jnp.asarray(
+            rng.standard_normal((win, win, dp)).astype(np.float32) * 0.1)
+        a = fused_qkv_window_attention(qkv, rh, rw, scale=0.2, heads=heads)
+        b = fused_qkv_window_attention(qkv, rh, rw, scale=0.2, heads=heads,
+                                       group=2)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_heads_per_step_matches(self, rng):
-        from sam_pt_tpu.ops.flash_attention import fused_qkv_window_attention
-
-        win, heads, dp, bw = 7, 4, 128, 6
-        n = win * win
-        qkv = jnp.asarray(
-            rng.standard_normal((bw, n, 3 * heads * dp)).astype(np.float32)
-            * 0.2)
-        rfull = jnp.asarray(
-            rng.standard_normal((n, n, dp)).astype(np.float32) * 0.1)
-        a = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads)
-        b = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads,
-                                       heads_per_step=2)
-        c = fused_qkv_window_attention(qkv, rfull, scale=0.2, heads=heads,
-                                       heads_per_step=4)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-5)
