@@ -40,27 +40,66 @@ from ....ops.sampling import bilinear_sample
 TRAIN_SIZE = (256, 256)
 
 
-def temporal_shift(x: jnp.ndarray, fraction: float) -> jnp.ndarray:
+def temporal_shift(
+    x: jnp.ndarray,
+    fraction: float,
+    time_axis: Optional[str] = None,
+    bwd_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """TSM with the reference's ROLLED channel layout (tsm_utils.py:116-148):
     output = concat([x[t+1] last n_shift ch, x[t] middle ch,
                      x[t-1] first n_shift ch]) — i.e. output channel i draws
     from a DIFFERENT input channel range, a permutation the trained conv
     weights bake in.
 
-    x: [T, H, W, C] (single video).
+    x: [T, H, W, C] (single video; T is the LOCAL shard when `time_axis` is
+    set).
+
+    Time-sharded mode (`time_axis`): the video's frame axis is sharded over
+    a mesh axis and this op is the only cross-frame coupling in the whole
+    TSM-ResNet — a 1-frame halo. Each device ships its first frame to the
+    left neighbor and its last frame to the right neighbor over the ring
+    (`lax.ppermute` riding ICI), reproducing the unsharded shift exactly.
+    `bwd_valid` [T_local] masks backward-shift sources that are padding
+    frames (global frame ids >= the real frame count), which keeps the last
+    REAL frame's zero boundary identical to the unsharded computation.
     """
     if fraction <= 0:
         return x
     c = x.shape[-1]
     n_shift = int(c * fraction)
-    bwd = jnp.concatenate(
-        [x[1:, ..., c - n_shift:], jnp.zeros_like(x[:1, ..., c - n_shift:])],
-        axis=0,
-    )
+    if time_axis is None:
+        bwd = jnp.concatenate(
+            [x[1:, ..., c - n_shift:],
+             jnp.zeros_like(x[:1, ..., c - n_shift:])],
+            axis=0,
+        )
+        fwd = jnp.concatenate(
+            [jnp.zeros_like(x[:1, ..., :n_shift]), x[:-1, ..., :n_shift]],
+            axis=0,
+        )
+    else:
+        n_dev = jax.lax.axis_size(time_axis)
+        idx = jax.lax.axis_index(time_axis)
+        # ring halo exchange: first frame -> left neighbor (feeds its bwd),
+        # last frame -> right neighbor (feeds its fwd)
+        from_right = jax.lax.ppermute(
+            x[:1], time_axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        from_left = jax.lax.ppermute(
+            x[-1:], time_axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        from_right = from_right * (idx < n_dev - 1).astype(x.dtype)
+        from_left = from_left * (idx > 0).astype(x.dtype)
+        bwd = jnp.concatenate(
+            [x[1:, ..., c - n_shift:], from_right[..., c - n_shift:]], axis=0
+        )
+        if bwd_valid is not None:
+            bwd = bwd * bwd_valid[:, None, None, None].astype(x.dtype)
+        fwd = jnp.concatenate(
+            [from_left[..., :n_shift], x[:-1, ..., :n_shift]], axis=0
+        )
     mid = x[..., n_shift : c - n_shift]
-    fwd = jnp.concatenate(
-        [jnp.zeros_like(x[:1, ..., :n_shift]), x[:-1, ..., :n_shift]], axis=0
-    )
     return jnp.concatenate([bwd, mid, fwd], axis=-1)
 
 
@@ -74,10 +113,11 @@ class TSMBasicBlockV2(nn.Module):
     stride: int = 1
     use_projection: bool = False
     shift_fraction: float = 0.0
+    time_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [T, H, W, C]
+    def __call__(self, x, bwd_valid=None):  # [T, H, W, C]
         preact = InferenceBatchNorm(x.shape[-1], name="bn_pre")(x)
         preact = nn.relu(preact)
 
@@ -89,7 +129,8 @@ class TSMBasicBlockV2(nn.Module):
         else:
             shortcut = x
 
-        y = temporal_shift(preact, self.shift_fraction)
+        y = temporal_shift(preact, self.shift_fraction, self.time_axis,
+                           bwd_valid)
         y = nn.Conv(self.output_channels, (3, 3),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, name="conv_0", dtype=self.dtype)(y)
@@ -110,10 +151,11 @@ class TSMResNetV2(nn.Module):
     channels_per_unit: Sequence[int] = (64, 128, 256)
     strides_per_unit: Sequence[int] = (1, 2, 1)  # output stride 8 overall
     shift_fractions: Sequence[float] = (0.125, 0.125, 0.0)
+    time_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bwd_valid=None):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
                     use_bias=False, name="initial_conv", dtype=self.dtype)(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
@@ -127,19 +169,27 @@ class TSMResNetV2(nn.Module):
                     stride=st if bi == 0 else 1,
                     use_projection=(bi == 0),
                     shift_fraction=sf,
+                    time_axis=self.time_axis,
                     name=f"unit{ui}_block{bi}",
                     dtype=self.dtype,
-                )(x)
+                )(x, bwd_valid)
         return x
 
 
 class TAPNet(nn.Module):
     num_heads: int = 1
     softmax_temperature: float = 10.0
+    # Mesh-axis name for ring-style TEMPORAL sharding: frames are sharded
+    # over this axis (run under shard_map; see parallel/temporal.py). The
+    # TSM halo rides ppermute, query features psum from the owning shard,
+    # everything else in the model is per-frame local. Param tree is
+    # identical either way.
+    time_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.tsm_resnet = TSMResNetV2(dtype=self.dtype)
+        self.tsm_resnet = TSMResNetV2(time_axis=self.time_axis,
+                                      dtype=self.dtype)
         self.cost_conv1 = nn.Conv(16, (3, 3), padding="SAME",
                                   name="cost_volume_regression_1",
                                   dtype=self.dtype)
@@ -153,16 +203,35 @@ class TAPNet(nn.Module):
                                     dtype=self.dtype)
         self.occ_out = nn.Dense(1, name="occlusion_out", dtype=self.dtype)
 
-    def get_feature_grid(self, video: jnp.ndarray) -> jnp.ndarray:
+    def get_feature_grid(self, video: jnp.ndarray,
+                         bwd_valid=None) -> jnp.ndarray:
         """video [T, 256, 256, 3] in [-1, 1] -> [T, 32, 32, 1024] normalized."""
-        return l2_normalize(self.tsm_resnet(video.astype(self.dtype)))
+        return l2_normalize(
+            self.tsm_resnet(video.astype(self.dtype), bwd_valid))
 
-    def __call__(self, video: jnp.ndarray, query_points: jnp.ndarray):
+    def __call__(self, video: jnp.ndarray, query_points: jnp.ndarray,
+                 t_valid: Optional[int] = None):
         """query_points [N, 3] (t, y, x) raster(256).
 
         Returns dict(tracks [N, T, 2] xy raster, occlusion [N, T]).
+
+        Time-sharded mode (`self.time_axis` set, running under shard_map):
+        `video` is the LOCAL frame shard; `t_valid` is the GLOBAL real frame
+        count (frames past it are padding added to even out the shards).
+        Outputs are local shards [N, T_local, ...].
         """
-        grid = self.get_feature_grid(video)
+        t_local = video.shape[0]
+        if self.time_axis is not None:
+            shard = jax.lax.axis_index(self.time_axis)
+            frame_ids = shard * t_local + jnp.arange(t_local)  # global ids
+            t_total = t_valid if t_valid is not None else (
+                t_local * jax.lax.axis_size(self.time_axis))
+            bwd_valid = (frame_ids < t_total - 1).astype(self.dtype)
+        else:
+            frame_ids = jnp.arange(t_local)
+            bwd_valid = None
+
+        grid = self.get_feature_grid(video, bwd_valid)
         t, gh, gw, c = grid.shape
         n = query_points.shape[0]
 
@@ -171,9 +240,21 @@ class TAPNet(nn.Module):
         # reference interp applies (tapnet_model.py:33-60, transforms.py:77-80)
         gy = query_points[:, 1] * (gh / TRAIN_SIZE[0]) - 0.5
         gx = query_points[:, 2] * (gw / TRAIN_SIZE[1]) - 0.5
-        q_feats = jax.vmap(
-            lambda fr, x, y: bilinear_sample(fr, x, y, pad_mode="clamp")
-        )(grid[t_idx], gx, gy)  # [N, C]
+        if self.time_axis is not None:
+            # each query frame lives on exactly one shard: sample there,
+            # zero elsewhere, psum over the time axis
+            local_t = t_idx - shard * t_local
+            in_shard = (local_t >= 0) & (local_t < t_local)
+            safe_t = jnp.clip(local_t, 0, t_local - 1)
+            q_feats = jax.vmap(
+                lambda fr, x, y: bilinear_sample(fr, x, y, pad_mode="clamp")
+            )(grid[safe_t], gx, gy)  # [N, C]
+            q_feats = q_feats * in_shard[:, None].astype(q_feats.dtype)
+            q_feats = jax.lax.psum(q_feats, self.time_axis)
+        else:
+            q_feats = jax.vmap(
+                lambda fr, x, y: bilinear_sample(fr, x, y, pad_mode="clamp")
+            )(grid[t_idx], gx, gy)  # [N, C]
 
         d = self.num_heads
         grid_heads = grid.reshape(t, gh, gw, c // d, d)
@@ -197,8 +278,9 @@ class TAPNet(nn.Module):
         occ = nn.relu(self.occ_linear1(occ))
         occ = self.occ_out(occ).reshape(t, n).T  # [N, T]
 
-        # pin the query frame to the query point
-        onehot = jax.nn.one_hot(t_idx, t)
+        # pin the query frame to the query point (global frame ids, so
+        # the sharded path pins on whichever shard owns the query frame)
+        onehot = (t_idx[:, None] == frame_ids[None, :]).astype(points.dtype)
         q_xy = query_points[:, jnp.array([2, 1])]
         points = (
             points * (1 - onehot)[..., None]

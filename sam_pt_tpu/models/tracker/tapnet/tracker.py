@@ -28,10 +28,21 @@ class TapNetPointTracker(PointTracker):
         dtype=jnp.float32,
         params=None,
         allow_random_init: bool = False,
+        time_parallel: bool = False,
+        mesh=None,
     ):
         self.visibility_threshold = visibility_threshold
         self.query_chunk_size = query_chunk_size
         self.model = TAPNet(dtype=dtype)
+        # Ring-style temporal sharding (parallel/temporal.py): frames of
+        # ONE video sharded over the mesh's 'data' axis — the scale-out
+        # path for long videos (numerically identical to unsharded).
+        self.time_parallel = time_parallel
+        self.mesh = mesh
+        if time_parallel and mesh is None:
+            from ....parallel.mesh import create_mesh
+
+            self.mesh = create_mesh()
 
         if params is None and checkpoint_path is not None:
             import os
@@ -46,9 +57,18 @@ class TapNetPointTracker(PointTracker):
                 )
         self.params = params
 
-        self._forward_jit = jax.jit(
-            lambda p, video, qp: self.model.apply(p, video, qp)
-        )
+        if self.time_parallel:
+            from ....parallel.temporal import tapnet_forward_time_sharded
+
+            self._forward_jit = (
+                lambda p, video, qp: tapnet_forward_time_sharded(
+                    self.model, p, video, qp, self.mesh
+                )
+            )
+        else:
+            self._forward_jit = jax.jit(
+                lambda p, video, qp: self.model.apply(p, video, qp)
+            )
 
     def init_params(self, key, t: int = 2, n_points: int = 4):
         video = jnp.zeros((t, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))

@@ -1,0 +1,76 @@
+"""Ring-style TEMPORAL sharding of tracker cost volumes across a mesh.
+
+The reference handles long videos only by host-side temporal chunking
+(SURVEY.md §5 long-context: PIPS windows, PIPS++ sliding carry, reinit
+horizons) — a single GPU sees every frame. On a TPU slice, the natural
+scale-out for "one long video" is to shard the FRAME axis across devices:
+
+  - the TSM-ResNet backbone + cost volume + per-frame heads of TapNet are
+    frame-local except the Temporal Shift Module's 1-frame coupling, which
+    becomes a ring halo exchange (`lax.ppermute` over ICI) — see
+    `models/tracker/tapnet/model.py::temporal_shift`;
+  - query features are sampled on the shard that owns the query frame and
+    combined with a masked `psum`;
+  - outputs stay frame-sharded until the caller gathers them.
+
+The sharded program is numerically IDENTICAL to the unsharded model (same
+ops, same boundaries — validated to ~1e-5 in tests/test_parallel.py), so
+temporal sharding composes with checkpoint parity: it is a deployment
+knob, not a model variant.
+
+Reference anchor: the dormant `cross_replica_axis='i'` pmap hook in the
+reference's TapNet batchnorm (tapnet_model.py:189-212) is the only
+collective the reference ever declares; this module is its TPU-native
+generalization to real sequence parallelism.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def tapnet_forward_time_sharded(
+    model,
+    params,
+    video: jnp.ndarray,
+    query_points: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Dict[str, jnp.ndarray]:
+    """Run a TAPNet forward with frames sharded over `mesh[axis]`.
+
+    model: an (unsharded) `TAPNet` instance — it is cloned with
+    `time_axis=axis` so the parameter tree is reused as-is.
+    video: [T, H, W, 3] global array; query_points: [N, 3] (t, y, x).
+    Returns dict(tracks [N, T, 2], occlusion [N, T]) gathered on the host
+    program's global view (frames past T are padded internally and cropped).
+    """
+    n_dev = mesh.shape[axis]
+    t = video.shape[0]
+    t_pad = -(-t // n_dev) * n_dev
+    if t_pad != t:
+        video = jnp.pad(
+            video, ((0, t_pad - t), (0, 0), (0, 0), (0, 0))
+        )
+    sharded_model = model.clone(time_axis=axis)
+
+    def fn(v_local, qp):
+        out = sharded_model.apply(params, v_local, qp, t_valid=t)
+        return out["tracks"], out["occlusion"]
+
+    tracks, occlusion = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(None, axis), P(None, axis)),
+        check_vma=False,
+    )(video, query_points)
+    return {"tracks": tracks[:, :t], "occlusion": occlusion[:, :t]}

@@ -104,3 +104,60 @@ class TestShardedOrchestrator:
         np.testing.assert_allclose(
             np.asarray(out1["trajectories"]),
             np.asarray(out2["trajectories"]), atol=1e-4)
+
+
+class TestTemporalSharding:
+    """Ring-style temporal sharding of the TapNet cost volume
+    (parallel/temporal.py): frames sharded over the 8-device mesh, TSM
+    halos over ppermute, query features psum'd — must match the unsharded
+    model numerically."""
+
+    @pytest.mark.parametrize("t", [16, 13])  # even split + padded split
+    def test_tapnet_time_sharded_matches_unsharded(self, rng, t):
+        from sam_pt_tpu.models.tracker.tapnet.model import TAPNet
+        from sam_pt_tpu.parallel.mesh import create_mesh
+        from sam_pt_tpu.parallel.temporal import tapnet_forward_time_sharded
+
+        model = TAPNet()
+        video = jnp.asarray(
+            rng.standard_normal((t, 64, 64, 3)).astype(np.float32) * 0.5
+        )
+        # query frames spread across shards (incl. first/last real frame)
+        qp = jnp.asarray(
+            np.array(
+                [[0, 30.0, 40.0], [t - 1, 100.0, 200.0], [t // 2, 5.0, 250.0]],
+                np.float32,
+            )
+        )
+        params = model.init(jax.random.PRNGKey(0), video, qp)
+        ref = model.apply(params, video, qp)
+
+        mesh = create_mesh()
+        assert mesh.shape["data"] == 8
+        got = tapnet_forward_time_sharded(model, params, video, qp, mesh)
+
+        np.testing.assert_allclose(
+            np.asarray(got["tracks"]), np.asarray(ref["tracks"]),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got["occlusion"]), np.asarray(ref["occlusion"]),
+            rtol=1e-4, atol=1e-4)
+
+    def test_tapnet_tracker_time_parallel_matches(self, rng):
+        """The PointTracker surface with time_parallel=True must match the
+        plain tracker's outputs end-to-end (resize, chunking, thresholds)."""
+        from sam_pt_tpu.models.tracker.tapnet.tracker import (
+            TapNetPointTracker,
+        )
+
+        plain = TapNetPointTracker()
+        plain.init_params(jax.random.PRNGKey(3))
+        par = TapNetPointTracker(time_parallel=True, params=plain.params)
+
+        rgbs = (rng.standard_normal((1, 11, 48, 64, 3)) * 60 + 128).clip(
+            0, 255).astype(np.uint8)
+        qp = np.array([[[0, 10.0, 20.0], [5, 40.0, 30.0]]], np.float32)
+        tr_a, vis_a = plain.forward(rgbs, qp)
+        tr_b, vis_b = par.forward(rgbs, qp)
+        np.testing.assert_allclose(tr_a, tr_b, rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(vis_a, vis_b)
