@@ -45,6 +45,41 @@ from .tracker.api import PointTracker
 NEG_INF = -float("inf")
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _build_prompts_jit(traj, vis, n_pos, has_neg, add_other):
+    """Device-side `_build_prompts` (cap-less other-object variant).
+
+    traj [T, M, P, 2], vis [T, M, P] -> points [T, M, N, 2], labels
+    [T, M, N]. Unlike the host version, other-object negative slots are not
+    compacted to the front: every other-object positive keeps its slot and
+    invisible ones get label -1 — the same active token set, which the mask
+    decoder is order/slot-invariant to (tokens encode coordinates)."""
+    t, m, p, _ = traj.shape
+    visible = vis == 1
+    if has_neg:
+        base = jnp.concatenate([
+            jnp.ones((n_pos,), jnp.int32),
+            jnp.zeros((p - n_pos,), jnp.int32),
+        ])
+    else:
+        base = jnp.ones((p,), jnp.int32)
+    labels = jnp.where(visible, base[None, None, :], -1)
+    points = traj.astype(jnp.float32)
+    if add_other and m > 1:
+        oidx = np.stack(
+            [[o for o in range(m) if o != mi] for mi in range(m)]
+        )  # [M, M-1] static
+        opts = points[:, :, :n_pos][:, oidx]  # [T, M, M-1, n_pos, 2]
+        ovis = visible[:, :, :n_pos][:, oidx]
+        points = jnp.concatenate(
+            [points, opts.reshape(t, m, -1, 2)], axis=2
+        )
+        labels = jnp.concatenate(
+            [labels, jnp.where(ovis, 0, -1).reshape(t, m, -1)], axis=2
+        )
+    return points, labels
+
+
 def _emb_index(embeddings, idx):
     """Index precomputed embeddings (array, or {'emb','interm'} dict for HQ)."""
     return jax.tree_util.tree_map(lambda a: a[idx], embeddings)
@@ -247,6 +282,17 @@ class SamPt:
             logits_out = [m for m in np.asarray(logits_dev)]
             assert logits_out[0].shape == (t, *target_hw)
         assert trajectories.shape == (t, n_masks, n_points, 2)
+        if isinstance(scores, jnp.ndarray):
+            # device flow: everything stays as dispatched device arrays so
+            # this call returns without a single blocking download —
+            # consumers (eval fusion, viz) download lazily via np.asarray
+            return {
+                "logits": logits_out,
+                "scores": scores,
+                "scores_per_frame": scores_per_frame,
+                "trajectories": trajectories,
+                "visibilities": visibilities,
+            }
         return {
             "logits": logits_out,
             "scores": list(np.asarray(scores, np.float64)),
@@ -316,6 +362,18 @@ class SamPt:
     def _forward(self, images, query_points):
         dev = getattr(self, "_images_dev", None)
         emb = getattr(self, "_early_emb", None)
+        if self._use_device_flow():
+            t, h, w, _ = images.shape
+            trajectories, visibilities = self._track_points_device(
+                dev, query_points, (h, w)
+            )
+            if emb is None:
+                emb = self._encode_all_frames(dev)
+            _, logits, scores_per_frame = self._apply_sam_device(
+                (h, w), trajectories, visibilities, emb
+            )
+            scores = scores_per_frame.mean(axis=0)
+            return trajectories, visibilities, logits, scores, scores_per_frame
         trajectories, visibilities = self._track_points(
             images, query_points, images_dev=dev
         )
@@ -326,6 +384,128 @@ class SamPt:
         with np.errstate(invalid="ignore"):
             scores = scores_per_frame.mean(axis=0)
         return trajectories, visibilities, logits, scores, scores_per_frame
+
+    def _use_device_flow(self) -> bool:
+        """Whether the fully device-resident fast path applies.
+
+        The device flow keeps trajectories/visibilities/prompts/scores as
+        dispatched device arrays end-to-end, so `forward` never blocks on a
+        download and consecutive videos pipeline on the host (the tracker
+        download was a ~1 s host stall per video). Host-logic features
+        (reinit's data-dependent control flow, the patch-filter cascade,
+        capped other-object subsampling with host RNG, stateful SuperGlue
+        masks) fall back to the host path with identical semantics.
+        """
+        return (
+            getattr(self, "_keep_logits_device", False)
+            and not self.use_point_reinit
+            and not self.use_patch_matching_filtering
+            and not (
+                self.add_other_objects_positive_points_as_negative_points
+                and self.max_other_objects_positive_points is not None
+            )
+            and hasattr(self.point_tracker, "forward_device")
+            and not hasattr(self.point_tracker, "set_masks")
+        )
+
+    def _track_points_device(self, images_dev, query_points, hw):
+        """Device-resident `_track_points`: same mask batching and OOB
+        marking, no host download (patch filtering is excluded by
+        `_use_device_flow`)."""
+        h, w = hw
+        t = images_dev.shape[0]
+        m, p, _ = query_points.shape
+        bs = self.point_tracker_mask_batch_size
+
+        trajs, viss = [], []
+        for i in range(0, m, bs):
+            batch = query_points[i : i + bs].reshape(1, -1, 3)
+            out_t, out_v = self.point_tracker.forward_device(
+                images_dev[None], batch
+            )
+            nb = min(bs, m - i)
+            trajs.append(out_t[0].reshape(t, nb, p, 2))
+            viss.append(out_v[0].reshape(t, nb, p))
+        trajectories = (
+            jnp.concatenate(trajs, axis=1) if len(trajs) > 1 else trajs[0]
+        ).astype(jnp.float32)
+        visibilities = (
+            jnp.concatenate(viss, axis=1) if len(viss) > 1 else viss[0]
+        ).astype(jnp.float32)
+
+        x, y = trajectories[..., 0], trajectories[..., 1]
+        oob = (x / w < 0.01) | (x / w > 0.99) | (y / h < 0.01) | (y / h > 0.99)
+        visibilities = jnp.where(
+            oob, float(PointVisibilityType.OUTSIDE_FRAME), visibilities
+        )
+        return trajectories, visibilities
+
+    def _apply_sam_device(self, hw, trajectories, visibilities, embeddings):
+        """Device-resident `_apply_sam`: prompts built on device
+        (`_build_prompts_jit`), IoU gating/scoring as dispatched ops, logits
+        float16 on device. Semantically identical to the host path with
+        `keep_logits_on_device` (slot order of other-object points differs,
+        which the decoder is invariant to — prompt tokens are encoded from
+        coordinates, not slot index)."""
+        h, w = hw
+        t, m = trajectories.shape[0], trajectories.shape[1]
+        predictor = self.sam_predictor
+
+        points, labels = _build_prompts_jit(
+            trajectories,
+            visibilities,
+            self.positive_points_per_mask,
+            self.negative_points_per_mask > 0,
+            self.add_other_objects_positive_points_as_negative_points,
+        )
+        n_prompt = points.shape[2]
+        b = t * m
+        pts_flat = points.reshape(b, n_prompt, 2)
+        lbl_flat = labels.reshape(b, n_prompt)
+        emb_flat = np.repeat(np.arange(t), m)
+        has_visible = (lbl_flat != -1).any(axis=1)  # [B] device
+
+        chunk = min(self.sam_decode_chunk, b)
+        if self._data_sharding is not None:
+            ndev = int(self.mesh.devices.size)
+            chunk = min(self.sam_decode_chunk,
+                        ((b + ndev - 1) // ndev) * ndev)
+        dev_chunks, iou_chunks = [], []
+        for i in range(0, b, chunk):
+            sl = slice(i, min(i + chunk, b))
+            nb = sl.stop - sl.start
+            pad = chunk - nb
+            idx = np.concatenate([np.arange(sl.start, sl.stop),
+                                  np.full(pad, sl.start)])
+            emb = self._shard(_emb_index(embeddings, jnp.asarray(emb_flat[idx])))
+            idx_dev = jnp.asarray(idx)
+            pts = self._shard(pts_flat[idx_dev])
+            lbl = self._shard(lbl_flat[idx_dev])
+            chain = self._get_chain_fn((h, w), upscale=True)
+            up, iou = chain(predictor.params, emb, pts, lbl)
+            dev_chunks.append(up[:nb])
+            iou_chunks.append(iou[:nb])
+        iou_all = (
+            jnp.concatenate(iou_chunks) if len(iou_chunks) > 1
+            else iou_chunks[0]
+        )
+        logits = (
+            jnp.concatenate(dev_chunks, axis=0) if len(dev_chunks) > 1
+            else dev_chunks[0]
+        )
+
+        passed = has_visible & (iou_all >= self.sam_iou_threshold)
+        logits = jnp.where(
+            passed[:, None, None], logits, jnp.float16(NEG_INF)
+        )
+        logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)
+        hv = has_visible.reshape(t, m)
+        iou_tm = iou_all.reshape(t, m)
+        scores_per_frame = jnp.where(hv, iou_tm, NEG_INF)
+        counts = hv.sum(axis=0)
+        sums = jnp.where(hv, iou_tm, 0.0).sum(axis=0)
+        pred_scores = sums / jnp.where(counts != 0, counts, 1)
+        return pred_scores, logits, scores_per_frame
 
     # ------------------------------------------------------------------
     # Tracking + filtering

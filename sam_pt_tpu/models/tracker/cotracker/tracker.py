@@ -205,6 +205,15 @@ class CoTrackerPointTracker(PointTracker):
         return traj, vis
 
     def forward(self, rgbs, query_points: np.ndarray):
+        traj, vis = self.forward_device(rgbs, query_points)
+        return np.asarray(traj), np.asarray(vis)
+
+    def forward_device(self, rgbs, query_points: np.ndarray):
+        """Like `forward` but returns DEVICE arrays without blocking: the
+        whole forward+backward merge runs as dispatched device ops, so the
+        orchestrator can build SAM prompts on device and never wait for
+        tracker results on the host (the tracker download was the single
+        biggest host stall in the pipelined eval loop)."""
         assert rgbs.shape[0] == 1, "CoTracker runs per-video"
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
@@ -245,29 +254,23 @@ class CoTrackerPointTracker(PointTracker):
         # encode once; the backward pass reuses the flipped feature maps
         # (the reference re-encodes the flipped video, tracker.py:155-161)
         fmaps = self._encode_video(video)
-        traj_f, vis_f = (
-            np.asarray(x) for x in self._track_jit(
-                self.params, fmaps, jnp.asarray(queries), t)
-        )
+        traj_f, vis_f = self._track_jit(
+            self.params, fmaps, jnp.asarray(queries), t)
 
         # backward pass on the flipped features; fill zeros from it
         queries_b = queries.copy()
         queries_b[:, 0] = t - queries_b[:, 0] - 1
-        traj_b, vis_b = (
-            np.asarray(x) for x in self._track_jit(
-                self.params, fmaps[::-1], jnp.asarray(queries_b), t)
-        )
+        traj_b, vis_b = self._track_jit(
+            self.params, fmaps[::-1], jnp.asarray(queries_b), t)
         traj_b = traj_b[::-1]
         vis_b = vis_b[::-1]
 
         zero = traj_f == 0
-        traj = np.where(zero, traj_b, traj_f)
-        vis = np.where(zero[..., 0], vis_b, vis_f)
+        traj = jnp.where(zero, traj_b, traj_f)
+        vis = jnp.where(zero[..., 0], vis_b, vis_f)
 
         traj = traj[:t_orig, :n_points]
         vis = vis[:t_orig, :n_points]
-        vis = (vis > self.visibility_threshold).astype(np.float32)
-        traj = traj.copy()
-        traj[..., 0] *= w / float(iw)
-        traj[..., 1] *= h / float(ih)
+        vis = (vis > self.visibility_threshold).astype(jnp.float32)
+        traj = traj * jnp.asarray([w / float(iw), h / float(ih)], jnp.float32)
         return traj[None], vis[None]

@@ -3,6 +3,7 @@
 Checks the forward contract the reference asserts at runtime
 (sam_pt/modeling/sam_pt.py:222-226) plus prompt-assembly semantics.
 """
+import jax
 import numpy as np
 import pytest
 
@@ -135,3 +136,77 @@ class TestDeterminism:
         np.testing.assert_array_equal(out1["trajectories"], out2["trajectories"])
         for a, b in zip(out1["logits"], out2["logits"]):
             np.testing.assert_array_equal(a, b)
+
+
+class TestDeviceFlow:
+    """The fully device-resident fast path (_use_device_flow) must match the
+    host path's outputs: same logits decisions, same scores."""
+
+    def test_device_flow_matches_host_flow(self, rng):
+        from sam_pt_tpu.models.sam_pt import SamPt
+        from sam_pt_tpu.models.tracker.cotracker.model import CoTracker
+        from sam_pt_tpu.models.tracker.cotracker.tracker import (
+            CoTrackerPointTracker,
+        )
+        from sam_pt_tpu.utils.testing import build_tiny_sam
+
+        h, w, t = 48, 64, 6
+        tracker = CoTrackerPointTracker(
+            interp_shape=(32, 40), visibility_threshold=0.5,
+            support_grid_size=0, s=4, stride=4, iters=2,
+        )
+        tracker.model = CoTracker(s=4, stride=4, latent_dim=16, input_dim=456,
+                                  hidden_size=32, num_heads=2, space_depth=1,
+                                  time_depth=2)
+        tracker.init_params(jax.random.PRNGKey(0), 32, 40)
+
+        from sam_pt_tpu.models.sam.predictor import SamPredictor
+
+        sam_model, sam_params = build_tiny_sam(64)
+        predictor = SamPredictor(sam_model, sam_params)
+
+        def build(**kw):
+            return SamPt(
+                point_tracker=tracker,
+                sam_predictor=predictor,
+                positive_points_per_mask=3,
+                negative_points_per_mask=1,
+                positive_point_selection_method="random",
+                negative_point_selection_method="random",
+                add_other_objects_positive_points_as_negative_points=True,
+                iterative_refinement_iterations=2,
+                sam_decode_chunk=8,
+                seed=7,
+                **kw,
+            )
+
+        masks = np.zeros((2, h, w), np.float32)
+        masks[0, 8:22, 6:28] = 1
+        masks[1, 26:44, 34:60] = 1
+        video = {
+            "image": rng.integers(0, 255, size=(t, h, w, 3)).astype(np.uint8),
+            "target_hw": (h, w),
+            "query_masks": masks,
+            "query_point_timestep": np.zeros((2,), np.float32),
+        }
+
+        host = build().forward(dict(video))
+        sam_pt_dev = build()
+        dev = sam_pt_dev.forward(
+            dict(video, keep_logits_on_device=True)
+        )
+        assert sam_pt_dev._use_device_flow()
+
+        host_logits = np.stack(host["logits"])  # [M, T, h, w] f32
+        dev_logits = np.asarray(dev["logits"], np.float32)
+        # identical decisions and near-identical logits (f16 download)
+        np.testing.assert_array_equal(host_logits > 0, dev_logits > 0)
+        finite = np.isfinite(host_logits)
+        np.testing.assert_allclose(
+            dev_logits[finite], host_logits[finite], atol=0.05, rtol=0.02)
+        np.testing.assert_allclose(
+            np.asarray(dev["scores"], np.float64), np.asarray(host["scores"]),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dev["trajectories"]), np.asarray(host["trajectories"]),
+            rtol=1e-4, atol=1e-4)
