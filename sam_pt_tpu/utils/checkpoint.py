@@ -81,6 +81,79 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": p}
 
 
+def hf_sam_to_sam_state_dict(hf_sd: Dict[str, Any]) -> Dict[str, Any]:
+    """HuggingFace `transformers` SamModel state dict -> original SAM keys.
+
+    transformers ships a faithful torch SAM (`SamModel`) with renamed
+    modules; this remaps its state dict to the original `segment_anything`
+    checkpoint layout so `convert_sam_state_dict` (and thus the flax models)
+    can load facebook/sam-vit-* HF checkpoints directly. It also serves as
+    the importable-torch-reference bridge for full-model SAM parity tests
+    (tests/test_parity_sam.py) — the original package isn't installed here.
+    """
+    out: Dict[str, Any] = {}
+    ren = [
+        # vision encoder
+        ("vision_encoder.patch_embed.projection.", "image_encoder.patch_embed.proj."),
+        ("vision_encoder.neck.conv1.", "image_encoder.neck.0."),
+        ("vision_encoder.neck.layer_norm1.", "image_encoder.neck.1."),
+        ("vision_encoder.neck.conv2.", "image_encoder.neck.2."),
+        ("vision_encoder.neck.layer_norm2.", "image_encoder.neck.3."),
+        ("vision_encoder.", "image_encoder."),
+        # prompt encoder
+        ("prompt_encoder.shared_embedding.positional_embedding",
+         "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"),
+        ("prompt_encoder.point_embed.", "prompt_encoder.point_embeddings."),
+        ("prompt_encoder.mask_embed.conv1.", "prompt_encoder.mask_downscaling.0."),
+        ("prompt_encoder.mask_embed.layer_norm1.", "prompt_encoder.mask_downscaling.1."),
+        ("prompt_encoder.mask_embed.conv2.", "prompt_encoder.mask_downscaling.3."),
+        ("prompt_encoder.mask_embed.layer_norm2.", "prompt_encoder.mask_downscaling.4."),
+        ("prompt_encoder.mask_embed.conv3.", "prompt_encoder.mask_downscaling.6."),
+        # mask decoder
+        ("mask_decoder.upscale_conv1.", "mask_decoder.output_upscaling.0."),
+        ("mask_decoder.upscale_layer_norm.", "mask_decoder.output_upscaling.1."),
+        ("mask_decoder.upscale_conv2.", "mask_decoder.output_upscaling.3."),
+        ("mask_decoder.transformer.layer_norm_final_attn.",
+         "mask_decoder.transformer.norm_final_attn."),
+    ]
+    import re as _re
+
+    for k, v in hf_sd.items():
+        if k.startswith("shared_image_embedding."):
+            continue  # duplicate of prompt_encoder.shared_embedding
+        nk = k
+        # block layers: vision_encoder.layers.i -> image_encoder.blocks.i,
+        # layer_normN -> normN (both vision blocks and decoder layers)
+        nk = _re.sub(r"^vision_encoder\.layers\.(\d+)\.",
+                     r"vision_encoder.blocks.\1.", nk)
+        nk = _re.sub(r"(\.(?:blocks|layers)\.\d+)\.layer_norm(\d)\.",
+                     r"\1.norm\2.", nk)
+        # SamFeedForward (proj_in/layers.k/proj_out) -> MLP layers.0..n
+        m = _re.match(
+            r"^(mask_decoder\.(?:output_hypernetworks_mlps\.\d+|"
+            r"iou_prediction_head))\.(proj_in|proj_out|layers\.(\d+))\.(.*)$",
+            nk,
+        )
+        if m:
+            base, part, layer_idx, tail = m.group(1), m.group(2), m.group(3), m.group(4)
+            n_mid = 1  # SAM's 3-layer MLPs have one middle layer
+            if part == "proj_in":
+                j = 0
+            elif part == "proj_out":
+                j = n_mid + 1
+            else:
+                j = 1 + int(layer_idx)
+            nk = f"{base}.layers.{j}.{tail}"
+        for src, dst in ren:
+            if nk.startswith(src):
+                nk = dst + nk[len(src):]
+                break
+        # blocks rename happens before the generic vision_encoder. rename
+        nk = nk.replace("vision_encoder.blocks.", "image_encoder.blocks.")
+        out[nk] = v
+    return out
+
+
 def _pad_attn_heads(qkv_w, qkv_b, proj_w, rel_h, rel_w, num_heads):
     """Fold the head-dim pad (e.g. 80 -> 128 for ViT-H) into the weights of
     a global-attention block: zero lanes in qkv output columns / proj input
@@ -475,6 +548,9 @@ def resolve_pips_checkpoint_file(path: str) -> str:
 
 def load_sam_checkpoint(path: str, model=None, template=None):
     sd = load_torch_state_dict(path)
+    if any(k.startswith("vision_encoder.") for k in sd):
+        # HuggingFace `transformers` SamModel layout (facebook/sam-vit-*)
+        sd = hf_sam_to_sam_state_dict(sd)
     params = convert_sam_state_dict(sd)
     if template is not None:
         validate_against_template(params, template)
