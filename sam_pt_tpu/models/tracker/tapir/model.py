@@ -36,6 +36,30 @@ from ....ops.sampling import bilinear_sample, separable_neighborhood_sample
 TRAIN_SIZE = (256, 256)  # (height, width)
 
 
+def _halo_time_pad(y, time_axis, frame_valid, halo=1):
+    """Ring halo for a time-axis 'SAME' conv under temporal sharding.
+
+    y: [N, F_local, C]. Returns [N, F_local + 2*halo, C] equal to the
+    zero-'SAME' padding of the GLOBAL frame sequence: each device zeroes
+    its padding frames (`frame_valid`), ships its first/last `halo` frames
+    to its neighbors over the ring (`lax.ppermute` riding ICI), and global
+    edges get zeros — so a VALID conv over the result is numerically
+    identical to the unsharded SAME conv."""
+    n_dev = jax.lax.axis_size(time_axis)
+    idx = jax.lax.axis_index(time_axis)
+    if frame_valid is not None:
+        y = y * frame_valid[None, :, None].astype(y.dtype)
+    from_right = jax.lax.ppermute(
+        y[:, :halo], time_axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    from_left = jax.lax.ppermute(
+        y[:, -halo:], time_axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    )
+    from_right = from_right * (idx < n_dev - 1).astype(y.dtype)
+    from_left = from_left * (idx > 0).astype(y.dtype)
+    return jnp.concatenate([from_left, y, from_right], axis=1)
+
+
 def l2_normalize(x, axis=-1, eps=1e-12):
     return x * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(jnp.square(x), axis=axis, keepdims=True), eps)
@@ -126,13 +150,23 @@ class PIPsConvBlock(nn.Module):
 
     kernel_shape: int = 3
     use_causal_conv: bool = False
+    # Mesh axis for ring-style temporal sharding: the two time-mixing
+    # depthwise convs become VALID convs over ring-halo-padded local frame
+    # shards (see _halo_time_pad); numerically identical to unsharded.
+    # Incompatible with use_causal_conv / causal context.
+    time_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, causal_context=None, get_causal_context=False):
+    def __call__(self, x, causal_context=None, get_causal_context=False,
+                 frame_valid=None):
         c = x.shape[-1]
         k = self.kernel_shape
         pad = ((k - 1, 0),) if self.use_causal_conv else "SAME"
+        halo = (k - 1) // 2
+        if self.time_axis is not None:
+            assert not self.use_causal_conv and causal_context is None
+            pad = "VALID"
         new_ctx = {}
 
         skip = x
@@ -142,6 +176,8 @@ class PIPsConvBlock(nn.Module):
             extra = causal_context["causal_1"].shape[-2]
         if get_causal_context:
             new_ctx["causal_1"] = y[..., -(k - 1):, :]
+        if self.time_axis is not None:
+            y = _halo_time_pad(y, self.time_axis, frame_valid, halo)
         # dw conv 1: channel multiplier 4, interleaved output layout
         y = nn.Conv(4 * c, (k,), padding=pad,
                     feature_group_count=c, name="dw1", dtype=self.dtype)(y)
@@ -153,6 +189,8 @@ class PIPsConvBlock(nn.Module):
             extra = causal_context["causal_2"].shape[-2]
         if get_causal_context:
             new_ctx["causal_2"] = y[..., -(k - 1):, :]
+        if self.time_axis is not None:
+            y = _halo_time_pad(y, self.time_axis, frame_valid, halo)
         y = nn.Conv(4 * c, (k,), padding=pad,
                     feature_group_count=4 * c, name="dw2", dtype=self.dtype)(y)
         if causal_context is not None:
@@ -174,19 +212,22 @@ class PIPSMLPMixer(nn.Module):
     num_blocks: int = 12
     kernel_shape: int = 3
     use_causal_conv: bool = False
+    time_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, causal_context=None, get_causal_context=False):
+    def __call__(self, x, causal_context=None, get_causal_context=False,
+                 frame_valid=None):
         """x: [N, F, C_in]; causal_context: list (per block) of dicts."""
         x = nn.Dense(self.hidden_dim, name="input_proj", dtype=self.dtype)(x)
         all_ctx = []
         for i in range(self.num_blocks):
             ctx = causal_context[i] if causal_context is not None else None
             x, new_ctx = PIPsConvBlock(
-                self.kernel_shape, self.use_causal_conv, name=f"block_{i}",
+                self.kernel_shape, self.use_causal_conv,
+                time_axis=self.time_axis, name=f"block_{i}",
                 dtype=self.dtype,
-            )(x, ctx, get_causal_context)
+            )(x, ctx, get_causal_context, frame_valid)
             all_ctx.append(new_ctx)
         x = nn.LayerNorm(use_bias=False, name="out_norm")(x)
         out = nn.Dense(self.output_channels, name="out_proj",
@@ -237,6 +278,12 @@ class TAPIR(nn.Module):
     patch_size: int = 7
     softmax_temperature: float = 20.0
     use_causal_conv: bool = False
+    # Mesh axis for ring-style temporal sharding (run under shard_map; see
+    # parallel/temporal.py): frames shard over this axis. The ResNet and all
+    # cost-volume/occlusion heads are frame-local; the mixer's time convs
+    # use ring halos; query features psum from the owning shard. Numerics
+    # identical to unsharded. Incompatible with use_causal_conv.
+    time_axis: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -246,6 +293,7 @@ class TAPIR(nn.Module):
             hidden_dim=self.mixer_hidden_dim,
             num_blocks=self.num_mixer_blocks,
             use_causal_conv=self.use_causal_conv,
+            time_axis=self.time_axis,
             dtype=self.dtype,
         )
         self.cost_conv1 = nn.Conv(16, (3, 3), padding="SAME",
@@ -272,8 +320,20 @@ class TAPIR(nn.Module):
 
     def get_query_features(self, hires, lowres, query_points):
         """query_points [N, 3] (t, y, x) raster(256) coords -> per-point
-        features sampled from each grid at the query frame."""
+        features sampled from each grid at the query frame.
+
+        Time-sharded mode: t indexes GLOBAL frames; each query's frame lives
+        on one shard — sample there, zero elsewhere, psum over the axis."""
         t_idx = jnp.round(query_points[:, 0]).astype(jnp.int32)
+        if self.time_axis is not None:
+            t_local = hires.shape[0]
+            shard = jax.lax.axis_index(self.time_axis)
+            local_t = t_idx - shard * t_local
+            in_shard = (local_t >= 0) & (local_t < t_local)
+            safe_t = jnp.clip(local_t, 0, t_local - 1)
+        else:
+            in_shard = None
+            safe_t = t_idx
 
         def sample_grid(grid):
             # raster -> grid index space: plain ratio scale, then the -0.5
@@ -287,10 +347,14 @@ class TAPIR(nn.Module):
                 ],
                 axis=-1,
             )
-            frames = grid[t_idx]  # [N, gh, gw, C]
-            return jax.vmap(
+            frames = grid[safe_t]  # [N, gh, gw, C]
+            q = jax.vmap(
                 lambda fr, p: bilinear_sample(fr, p[1], p[0], pad_mode="clamp")
             )(frames, yx)
+            if in_shard is not None:
+                q = q * in_shard[:, None].astype(q.dtype)
+                q = jax.lax.psum(q, self.time_axis)
+            return q
 
         return sample_grid(hires), sample_grid(lowres)
 
@@ -322,9 +386,16 @@ class TAPIR(nn.Module):
         expected_dist = occ[..., 1].T
 
         if query_points is not None:
-            # pin the query frame to the query point exactly
-            frame_ids = jnp.round(query_points[:, 0]).astype(jnp.int32)
-            onehot = jax.nn.one_hot(frame_ids, t)  # [N, T]
+            # pin the query frame to the query point exactly (global frame
+            # ids under temporal sharding, so the owning shard pins)
+            q_t = jnp.round(query_points[:, 0]).astype(jnp.int32)
+            if self.time_axis is not None:
+                shard = jax.lax.axis_index(self.time_axis)
+                local_ids = shard * t + jnp.arange(t)
+                onehot = (q_t[:, None] == local_ids[None, :]).astype(
+                    points.dtype)
+            else:
+                onehot = jax.nn.one_hot(q_t, t)  # [N, T]
             q_xy = query_points[:, jnp.array([2, 1])]  # (x, y) from (t, y, x)
             points = (
                 points * (1 - onehot)[..., None]
@@ -335,7 +406,7 @@ class TAPIR(nn.Module):
     # ------------------------------------------------------------------
     def refine_pips(self, query_feats, pyramid, pos_guess, occ_guess,
                     expd_guess, last_iter=None, causal_context=None,
-                    get_causal_context=False):
+                    get_causal_context=False, frame_valid=None):
         """One refinement pass.
 
         query_feats: (hires [N, Ch], lowres [N, Cl]); pyramid: list of grids
@@ -393,7 +464,9 @@ class TAPIR(nn.Module):
                 mlp_input, causal_context, get_causal_context
             )
         else:
-            res = self.pips_mixer(mlp_input)  # [N, T, 4 + Ch + Cl]
+            res = self.pips_mixer(
+                mlp_input, frame_valid=frame_valid
+            )  # [N, T, 4 + Ch + Cl]
             new_ctx = None
 
         # position update predicted in the (resized) feature resolution;
@@ -410,10 +483,23 @@ class TAPIR(nn.Module):
         return out
 
     # ------------------------------------------------------------------
-    def __call__(self, video: jnp.ndarray, query_points: jnp.ndarray):
+    def __call__(self, video: jnp.ndarray, query_points: jnp.ndarray,
+                 t_valid=None):
         """video [T, 256, 256, 3] in [-1, 1]; query_points [N, 3] (t, y, x)
         raster coords. Returns dict(tracks [N, T, 2] xy, occlusion [N, T],
-        expected_dist [N, T]) from the final refinement iteration."""
+        expected_dist [N, T]) from the final refinement iteration.
+
+        Time-sharded mode (`self.time_axis`, under shard_map): `video` is
+        the LOCAL frame shard, `t_valid` the GLOBAL real frame count; local
+        output shards are returned."""
+        frame_valid = None
+        if self.time_axis is not None:
+            t_local = video.shape[0]
+            shard = jax.lax.axis_index(self.time_axis)
+            frame_ids = shard * t_local + jnp.arange(t_local)
+            t_total = t_valid if t_valid is not None else (
+                t_local * jax.lax.axis_size(self.time_axis))
+            frame_valid = (frame_ids < t_total).astype(jnp.float32)
         hires, lowres = self.get_feature_grids(video)
         q_hi, q_lo = self.get_query_features(hires, lowres, query_points)
 
@@ -432,7 +518,7 @@ class TAPIR(nn.Module):
         for _ in range(self.num_pips_iter):
             points, occlusion, expected_dist, mixer_feats = self.refine_pips(
                 (q_hi, q_lo), pyramid, points, occlusion, expected_dist,
-                last_iter=mixer_feats,
+                last_iter=mixer_feats, frame_valid=frame_valid,
             )
 
         return {

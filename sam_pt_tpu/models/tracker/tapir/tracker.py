@@ -34,10 +34,21 @@ class TapirPointTracker(PointTracker):
         dtype=jnp.float32,
         params=None,
         allow_random_init: bool = False,
+        time_parallel: bool = False,
+        mesh=None,
     ):
         self.visibility_threshold = visibility_threshold
         self.query_chunk_size = query_chunk_size
         self.model = TAPIR(dtype=dtype)
+        # Ring-style temporal sharding (parallel/temporal.py): one video's
+        # frames shard over the mesh 'data' axis; the refinement's time
+        # convs run over ring halos. Numerically identical to unsharded.
+        self.time_parallel = time_parallel
+        self.mesh = mesh
+        if time_parallel and mesh is None:
+            from ....parallel.mesh import create_mesh
+
+            self.mesh = create_mesh()
 
         if params is None and checkpoint_path is not None:
             import os
@@ -53,9 +64,18 @@ class TapirPointTracker(PointTracker):
         self.params = params
 
         # jit once (the reference re-jits per call — tracker.py:97)
-        self._forward_jit = jax.jit(
-            lambda p, video, qp: self.model.apply(p, video, qp)
-        )
+        if self.time_parallel:
+            from ....parallel.temporal import tapir_forward_time_sharded
+
+            self._forward_jit = (
+                lambda p, video, qp: tapir_forward_time_sharded(
+                    self.model, p, video, qp, self.mesh
+                )
+            )
+        else:
+            self._forward_jit = jax.jit(
+                lambda p, video, qp: self.model.apply(p, video, qp)
+            )
 
     def init_params(self, key, t: int = 2, n_points: int = 4):
         video = jnp.zeros((t, TRAIN_SIZE[0], TRAIN_SIZE[1], 3))

@@ -74,3 +74,44 @@ def tapnet_forward_time_sharded(
         check_vma=False,
     )(video, query_points)
     return {"tracks": tracks[:, :t], "occlusion": occlusion[:, :t]}
+
+
+def tapir_forward_time_sharded(
+    model,
+    params,
+    video: jnp.ndarray,
+    query_points: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Dict[str, jnp.ndarray]:
+    """Run a TAPIR forward with frames sharded over `mesh[axis]`.
+
+    Same pattern as `tapnet_forward_time_sharded`; TAPIR's extra temporal
+    coupling — the PIPs mixer's kernel-3 depthwise time convs (2 per block,
+    12 blocks, `num_pips_iter` iterations) — becomes ring halo exchanges
+    (`_halo_time_pad` in the model), so outputs match the unsharded model.
+    video: [T, 256, 256, 3] in [-1, 1]; query_points: [N, 3] (t, y, x).
+    """
+    n_dev = mesh.shape[axis]
+    t = video.shape[0]
+    t_pad = -(-t // n_dev) * n_dev
+    if t_pad != t:
+        video = jnp.pad(video, ((0, t_pad - t), (0, 0), (0, 0), (0, 0)))
+    sharded_model = model.clone(time_axis=axis)
+
+    def fn(v_local, qp):
+        out = sharded_model.apply(params, v_local, qp, t_valid=t)
+        return out["tracks"], out["occlusion"], out["expected_dist"]
+
+    tracks, occlusion, expected_dist = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        check_vma=False,
+    )(video, query_points)
+    return {
+        "tracks": tracks[:, :t],
+        "occlusion": occlusion[:, :t],
+        "expected_dist": expected_dist[:, :t],
+    }

@@ -161,3 +161,33 @@ class TestTemporalSharding:
         tr_b, vis_b = par.forward(rgbs, qp)
         np.testing.assert_allclose(tr_a, tr_b, rtol=1e-4, atol=1e-3)
         np.testing.assert_array_equal(vis_a, vis_b)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("t", [16, 13])
+    def test_tapir_time_sharded_matches_unsharded(self, rng, t):
+        """TAPIR's refinement mixes time through kernel-3 depthwise convs;
+        under temporal sharding these run as VALID convs over ring-halo
+        padded shards — outputs must match the unsharded model."""
+        from sam_pt_tpu.models.tracker.tapir.model import TAPIR
+        from sam_pt_tpu.parallel.mesh import create_mesh
+        from sam_pt_tpu.parallel.temporal import tapir_forward_time_sharded
+
+        model = TAPIR(num_pips_iter=2, num_mixer_blocks=2,
+                      mixer_hidden_dim=32)
+        video = jnp.asarray(
+            rng.standard_normal((t, 64, 64, 3)).astype(np.float32) * 0.5)
+        qp = jnp.asarray(
+            np.array([[0, 30.0, 40.0], [t - 1, 100.0, 200.0],
+                      [t // 2, 5.0, 250.0]], np.float32))
+        params = model.init(jax.random.PRNGKey(0), video, qp)
+        ref = model.apply(params, video, qp)
+
+        mesh = create_mesh()
+        got = tapir_forward_time_sharded(model, params, video, qp, mesh)
+
+        np.testing.assert_allclose(
+            np.asarray(got["tracks"]), np.asarray(ref["tracks"]),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got["occlusion"]), np.asarray(ref["occlusion"]),
+            rtol=1e-4, atol=1e-4)
