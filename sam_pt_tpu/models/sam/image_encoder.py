@@ -56,14 +56,24 @@ class LayerNorm2d(nn.Module):
         return (y * weight + bias).astype(x.dtype)
 
 
-def _rel_pos_table(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+def _rel_pos_table(rel_pos: jnp.ndarray, q_size: int, k_size: int,
+                   cropped: bool = False) -> jnp.ndarray:
     """Select/interpolate the relative position table to [q_size, k_size, head_dim].
 
     The checkpoint stores rel_pos for max distance (2*size - 1). When q/k sizes
     match the table, this is a static slice-free take; trace-time constants mean
     XLA folds the index arithmetic away.
+
+    `cropped`: the runtime grid is a CROP of the grid the table was sized
+    for (pad-token cropping) — take the CENTER of the oversized table (the
+    same relative distances the uncropped computation uses) instead of
+    resizing it.
     """
     max_rel_dist = 2 * max(q_size, k_size) - 1
+    if cropped and rel_pos.shape[0] > max_rel_dist:
+        c = rel_pos.shape[0] // 2  # distance-0 row
+        half = max_rel_dist // 2
+        rel_pos = rel_pos[c - half : c + half + 1]
     if rel_pos.shape[0] != max_rel_dist:
         # Linear-resize the table (done once per jit trace; matmul-based).
         from ...ops.resize import resize_bilinear
@@ -87,6 +97,7 @@ def _add_decomposed_rel_pos(
     rel_pos_w: jnp.ndarray,
     q_hw: Tuple[int, int],
     k_hw: Tuple[int, int],
+    cropped: bool = False,
 ) -> jnp.ndarray:
     """Add decomposed relative position bias to attention logits.
 
@@ -96,8 +107,8 @@ def _add_decomposed_rel_pos(
     """
     q_h, q_w = q_hw
     k_h, k_w = k_hw
-    rh = _rel_pos_table(rel_pos_h, q_h, k_h)  # [q_h, k_h, C]
-    rw = _rel_pos_table(rel_pos_w, q_w, k_w)  # [q_w, k_w, C]
+    rh = _rel_pos_table(rel_pos_h, q_h, k_h, cropped)  # [q_h, k_h, C]
+    rw = _rel_pos_table(rel_pos_w, q_w, k_w, cropped)  # [q_w, k_w, C]
 
     rq = q.reshape(-1, q_h, q_w, q.shape[-1])
     bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh.astype(q.dtype))
@@ -123,6 +134,7 @@ class Attention(nn.Module):
     input_size: Optional[Tuple[int, int]] = None  # (H, W) for rel-pos tables
     padded_head_dim: Optional[int] = None
     fused_window: bool = False  # window kernel at the NATIVE head dim
+    cropped: bool = False  # runtime grid is a crop of input_size (pad crop)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,8 +176,8 @@ class Attention(nn.Module):
         if use_fused_win:
             from ...ops.flash_attention import fused_qkv_window_attention
 
-            rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, hdp]
-            rw = _rel_pos_table(rel_pos_w, w, w)
+            rh = _rel_pos_table(rel_pos_h, h, h, self.cropped)  # [h, h, hdp]
+            rw = _rel_pos_table(rel_pos_w, w, w, self.cropped)
             out = fused_qkv_window_attention(
                 qkv, rh.astype(qkv.dtype), rw.astype(qkv.dtype),
                 scale=scale, heads=self.num_heads,
@@ -174,8 +186,8 @@ class Attention(nn.Module):
         elif use_fused and hdp % 128 == 0:
             from ...ops.flash_attention import fused_qkv_relpos_attention
 
-            rh = _rel_pos_table(rel_pos_h, h, h)  # [h, h, hdp]
-            rw = _rel_pos_table(rel_pos_w, w, w)
+            rh = _rel_pos_table(rel_pos_h, h, h, self.cropped)  # [h, h, hdp]
+            rw = _rel_pos_table(rel_pos_w, w, w, self.cropped)
             out = fused_qkv_relpos_attention(
                 qkv, rh.astype(qkv.dtype), rw.astype(qkv.dtype),
                 scale=scale, kh=h, kw=w, heads=self.num_heads,
@@ -191,8 +203,8 @@ class Attention(nn.Module):
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(
                 3, b * self.num_heads, h * w, hdp)
             q, k, v = qkv[0], qkv[1], qkv[2]
-            rh = _rel_pos_table(rel_pos_h, h, h)
-            rw = _rel_pos_table(rel_pos_w, w, w)
+            rh = _rel_pos_table(rel_pos_h, h, h, self.cropped)
+            rw = _rel_pos_table(rel_pos_w, w, w, self.cropped)
             rq = q.reshape(-1, h, w, hdp)
             bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh.astype(q.dtype))
             bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw.astype(q.dtype))
@@ -213,7 +225,8 @@ class Attention(nn.Module):
             attn = (q * scale) @ jnp.swapaxes(k, -2, -1)
             if self.use_rel_pos:
                 attn = _add_decomposed_rel_pos(
-                    attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w)
+                    attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w),
+                    self.cropped,
                 )
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             out = attn @ v
@@ -290,6 +303,7 @@ class Block(nn.Module):
     pre_windowed: bool = False
     padded_head_dim: Optional[int] = None
     fused_window: bool = False
+    cropped: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -316,6 +330,7 @@ class Block(nn.Module):
             input_size=attn_size,
             padded_head_dim=self.padded_head_dim,
             fused_window=self.fused_window,
+            cropped=self.cropped and self.window_size == 0,
             name="attn",
             dtype=self.dtype,
         )(x)
@@ -347,10 +362,23 @@ class ImageEncoderViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_interm: bool = False):
+    def __call__(self, x: jnp.ndarray, return_interm: bool = False,
+                 valid_hw: Optional[Tuple[int, int]] = None):
         """x: [B, H, W, 3] normalized float; returns [B, H/16, W/16, out_chans]
         (plus, if return_interm, the first global-attention block's output —
-        the `interm_embeddings[0]` consumed by the HQ-SAM decoder)."""
+        the `interm_embeddings[0]` consumed by the HQ-SAM decoder).
+
+        `valid_hw`: PAD-TOKEN CROPPING (opt-in; deviates from the reference).
+        SAM pads inputs square, so a 480p frame leaves ~44% of the 64x64
+        token grid covering zero padding; with valid_hw = the (rows, cols)
+        of real tokens, all transformer compute runs on the cropped grid
+        (windowed blocks over real windows only, global attention over real
+        tokens with center-sliced rel-pos tables) and the embedding's pad
+        region is zero-filled. Real-token outputs differ from the reference
+        ONLY through the missing pad-token keys/values in the 4 global
+        layers (and the decoder seeing zeros off-image) — unvalidated
+        against trained weights, hence opt-in (Sam.crop_pad_tokens).
+        """
         grid = self.img_size // self.patch_size
         x = nn.Conv(
             self.embed_dim,
@@ -365,6 +393,12 @@ class ImageEncoderViT(nn.Module):
                 "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
             )
             x = x + pos_embed.astype(x.dtype)
+
+        cropped = False
+        if valid_hw is not None and tuple(valid_hw) != (grid, grid):
+            vr, vc = valid_hw
+            x = x[:, :vr, :vc, :]
+            cropped = True
 
         # Group consecutive windowed blocks into spans: the residual stream
         # stays window-partitioned across each span (one partition transpose
@@ -393,6 +427,7 @@ class ImageEncoderViT(nn.Module):
                     window_size=0,
                     input_size=(grid, grid),
                     padded_head_dim=pad_hd,
+                    cropped=cropped,
                     name=f"blocks_{i}",
                     dtype=self.dtype,
                 )(x)
@@ -435,6 +470,16 @@ class ImageEncoderViT(nn.Module):
         x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
                     name="neck_conv2", dtype=self.dtype)(x)
         x = LayerNorm2d(name="neck_ln2")(x)
+        if cropped:
+            # zero-fill the cropped-out pad region back to the full grid
+            # (the decoder consumes a [grid, grid] embedding)
+            pad_r = grid - x.shape[1]
+            pad_c = grid - x.shape[2]
+            x = jnp.pad(x, ((0, 0), (0, pad_r), (0, pad_c), (0, 0)))
+            if interm is not None:
+                interm = jnp.pad(
+                    interm, ((0, 0), (0, pad_r), (0, pad_c), (0, 0))
+                )
         if return_interm:
             return x, interm
         return x

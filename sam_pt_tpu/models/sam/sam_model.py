@@ -37,6 +37,13 @@ class Sam(nn.Module):
     pixel_std: Tuple[float, float, float] = PIXEL_STD
     use_hq: bool = False
     hq_token_only: bool = False
+    # OPT-IN pad-token cropping: run the encoder transformer only on token
+    # rows/cols covering real image content (SAM pads inputs square, so a
+    # 480p frame wastes ~44% of encoder compute on zero padding). DEVIATES
+    # from the reference: pad tokens are absent as keys/values in the 4
+    # global-attention layers and the decoder sees zeros off-image —
+    # unvalidated against trained weights/J&F, so default OFF.
+    crop_pad_tokens: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -96,10 +103,18 @@ class Sam(nn.Module):
         -> image embeddings [B, grid, grid, 256]; with use_hq, a dict
         {'emb': ..., 'interm': [B, grid, grid, vit_dim]}."""
         x = self.preprocess(images)
+        valid_hw = None
+        if self.crop_pad_tokens and isinstance(
+            self.image_encoder, ImageEncoderViT
+        ):
+            ps = self.image_encoder.patch_size
+            valid_hw = (-(-images.shape[1] // ps), -(-images.shape[2] // ps))
         if self.use_hq:
-            emb, interm = self.image_encoder(x, return_interm=True)
+            emb, interm = self.image_encoder(
+                x, return_interm=True, valid_hw=valid_hw
+            )
             return {"emb": emb, "interm": interm}
-        return self.image_encoder(x)
+        return self.image_encoder(x, valid_hw=valid_hw)
 
     def decode_masks(
         self,

@@ -530,9 +530,11 @@ def fused_qkv_window_attention(
     assert heads % hb == 0, (heads, dp)
 
     if not group:
-        # VMEM: 4 arrays x group*n*hb*dp bf16, double-buffered; ~12 MB budget
+        # VMEM: 4 arrays x group*n*hb*dp bf16, double-buffered, plus ~2 MB
+        # of f32 scratch (ab/bias/logits) per unrolled head — group 6 at
+        # hb=8 measured 1.58 MB over the 16 MB scoped limit, so budget 9.5
         per_win = n * hb * dp * 2 * 4 * 2
-        budget = 12 * 1024 * 1024
+        budget = int(9.5 * 1024 * 1024)
         group = next(
             (g for g in (10, 8, 6, 5, 4, 3, 2, 1)
              if bw % g == 0 and g * per_win <= budget), 1)

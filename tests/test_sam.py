@@ -230,3 +230,42 @@ class TestPadTokenMasking:
         np.testing.assert_allclose(
             np.asarray(iou_pad), np.asarray(iou_ref), rtol=0, atol=1e-5
         )
+
+
+class TestCropPadTokens:
+    """Opt-in encoder pad-token cropping (Sam.crop_pad_tokens): square
+    inputs (no padding) must be bit-identical to the uncropped path; padded
+    inputs run the transformer on the cropped grid and zero-fill the pad
+    region of the returned embedding."""
+
+    def test_square_input_is_identity(self, rng):
+        from sam_pt_tpu.utils.testing import build_tiny_sam
+        from sam_pt_tpu.models.sam.sam_model import Sam
+
+        model, params = build_tiny_sam(64)
+        cropped = model.clone(crop_pad_tokens=True)
+        img = jnp.asarray(
+            rng.uniform(0, 255, size=(1, 64, 64, 3)).astype(np.float32))
+        a = model.apply(params, img, method=Sam.encode_images)
+        b = cropped.apply(params, img, method=Sam.encode_images)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_padded_input_crops_and_zero_fills(self, rng):
+        from sam_pt_tpu.utils.testing import build_tiny_sam
+        from sam_pt_tpu.models.sam.sam_model import Sam
+
+        model, params = build_tiny_sam(64)
+        cropped = model.clone(crop_pad_tokens=True)
+        img = jnp.asarray(
+            rng.uniform(0, 255, size=(1, 48, 64, 3)).astype(np.float32))
+        emb = np.asarray(cropped.apply(params, img, method=Sam.encode_images))
+        assert emb.shape == (1, 4, 4, 256)
+        # valid token rows = ceil(48/16) = 3; row 3 is the zero-filled pad
+        assert np.all(emb[:, 3] == 0)
+        assert np.any(emb[:, :3] != 0)
+        # and full decode still runs on the padded-back embedding
+        pts = jnp.asarray(np.array([[[10.0, 20.0]]], np.float32))
+        lbl = jnp.asarray(np.array([[1]], np.int32))
+        masks, iou = cropped.apply(params, jnp.asarray(emb), pts, lbl,
+                                   method=Sam.decode_masks)
+        assert masks.shape[0] == 1 and iou.shape == (1, 4)
