@@ -318,119 +318,6 @@ def fused_qkv_relpos_attention(
     return out
 
 
-def _blockdiag_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, window, q_chunk):
-    """G windows fused into ONE [G*N, G*N] attention matmul with a static
-    block-diagonal mask — avoids the per-small-matmul dispatch overhead that
-    dominates batched window attention on TPU."""
-    gn = q_ref.shape[1]
-    k = k_ref[0]  # [GN, Da]
-    v = v_ref[0]  # [GN, Dp]
-    col_block = jax.lax.broadcasted_iota(jnp.int32, (1, gn), 1) // window
-
-    def body(ci, _):
-        q = q_ref[0, pl.ds(ci * q_chunk, q_chunk)]  # [QC, Da]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [QC, GN]
-        row_ids = (
-            ci * q_chunk
-            + jax.lax.broadcasted_iota(jnp.int32, (q_chunk, 1), 0)
-        ) // window
-        logits = jnp.where(row_ids == col_block, logits, -1e30)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, pl.ds(ci * q_chunk, q_chunk)] = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, gn // q_chunk, body, 0)
-
-
-def fused_window_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias_h: jnp.ndarray,
-    bias_w: jnp.ndarray,
-    *,
-    scale: float,
-    group: int = 8,
-    interpret=None,
-) -> jnp.ndarray:
-    """Windowed ViT attention: B independent windows of N=Kh*Kw tokens.
-
-    Same factored-bias augmentation as `fused_relpos_attention`, but G windows
-    are concatenated into one [G*N, G*N] block-diagonal attention per grid
-    step so the MXU sees large matmuls (the extra off-diagonal FLOPs are far
-    cheaper than dispatching thousands of 196^2 matmuls).
-    """
-    b, n, d = q.shape
-    kh = bias_h.shape[-1]
-    kw = bias_w.shape[-1]
-    assert kh * kw == n
-
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu",)
-
-    dp = ((d + 127) // 128) * 128
-    dtype = q.dtype
-
-    ys = np.arange(n) // kw
-    xs = np.arange(n) % kw
-    eh = jnp.asarray(np.eye(kh, dtype=np.float32)[ys], dtype)
-    ew = jnp.asarray(np.eye(kw, dtype=np.float32)[xs], dtype)
-
-    q_aug = jnp.concatenate(
-        [_pad_last(q * scale, dp), bias_h.astype(dtype), bias_w.astype(dtype)],
-        axis=-1,
-    )
-    k_aug = jnp.concatenate(
-        [_pad_last(k, dp),
-         jnp.broadcast_to(eh[None], (b, n, kh)),
-         jnp.broadcast_to(ew[None], (b, n, kw))],
-        axis=-1,
-    )
-    v_p = _pad_last(v, dp)
-    da = q_aug.shape[-1]
-
-    g = 1
-    for cand in (group, 4, 2, 1):
-        if b % cand == 0:
-            g = cand
-            break
-    gn = g * n
-    q_chunk = gn
-    while q_chunk * gn * 4 > 6 * 1024 * 1024 and q_chunk % 2 == 0:
-        q_chunk //= 2  # bound the f32 logits chunk to ~6MB of VMEM
-
-    qg = q_aug.reshape(b // g, gn, da)
-    kg = k_aug.reshape(b // g, gn, da)
-    vg = v_p.reshape(b // g, gn, dp)
-
-    out = pl.pallas_call(
-        functools.partial(_blockdiag_attention_kernel, window=n,
-                          q_chunk=q_chunk),
-        grid=(b // g,),
-        in_specs=[
-            pl.BlockSpec((1, gn, da), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gn, da), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gn, dp), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, gn, dp), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b // g, gn, dp), dtype),
-        interpret=interpret,
-    )(qg, kg, vg)
-    return out.reshape(b, n, dp)[..., :d]
-
-
 def _qkv_window_kernel(q_ref, k_ref, v_ref, wb_ref, sel_ref, ohk_ref, o_ref,
                        *, scale, group):
     """`group` windows × one head per grid step, entirely in VMEM.

@@ -105,23 +105,6 @@ class TestWindowVariants:
         ref = naive(q, k, v, bh, bw, 0.2)
         np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
 
-    def test_blockdiag_window_attention(self, rng):
-        from sam_pt_tpu.ops.flash_attention import fused_window_attention
-
-        b, kh, kw, d = 8, 4, 8, 24
-        n = kh * kw
-        q = rng.standard_normal((b, n, d)).astype(np.float32)
-        k = rng.standard_normal((b, n, d)).astype(np.float32)
-        v = rng.standard_normal((b, n, d)).astype(np.float32)
-        bh = rng.standard_normal((b, n, kh)).astype(np.float32) * 0.3
-        bw = rng.standard_normal((b, n, kw)).astype(np.float32) * 0.3
-        got = fused_window_attention(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            jnp.asarray(bh), jnp.asarray(bw), scale=0.2, group=4,
-        )
-        ref = naive(q, k, v, bh, bw, 0.2)
-        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
-
 
 class TestQkvRelposKernel:
     """New fused path: q/k/v read straight from the qkv projection layout,
