@@ -36,6 +36,8 @@ def build_predictor(
     hq_token_only: bool = False,
     seed: int = 0,
     mesh=None,
+    tp_axis: Optional[str] = None,
+    dp_axis: Optional[str] = None,
 ) -> SamPredictor:
     """Build a SamPredictor for a ViT/TinyViT variant (+ optional HQ decoder),
     converting a torch checkpoint.
@@ -45,6 +47,7 @@ def build_predictor(
     """
     model = Sam(encoder_variant=variant, image_size=image_size,
                 use_hq=hq, hq_token_only=hq_token_only,
+                tp_axis=tp_axis, dp_axis=dp_axis,
                 dtype=_DTYPES[dtype])
 
     if checkpoint is not None and os.path.exists(checkpoint):
@@ -69,7 +72,13 @@ def build_predictor(
         imgs = jnp.zeros((1, image_size, image_size, 3))
         pts = jnp.zeros((1, 2, 2))
         lbl = jnp.zeros((1, 2), jnp.int32)
-        params = jitted_init(model, jax.random.PRNGKey(seed), imgs, pts, lbl)
+        # init through a non-TP twin (identical param tree): the TP sharding
+        # constraints need a mesh context, which init shouldn't require
+        init_model = model if tp_axis is None else Sam(
+            encoder_variant=variant, image_size=image_size, use_hq=hq,
+            hq_token_only=hq_token_only, dtype=_DTYPES[dtype])
+        params = jitted_init(
+            init_model, jax.random.PRNGKey(seed), imgs, pts, lbl)
     else:
         raise FileNotFoundError(
             f"SAM checkpoint not found: {checkpoint} "

@@ -135,6 +135,15 @@ class Attention(nn.Module):
     padded_head_dim: Optional[int] = None
     fused_window: bool = False  # window kernel at the NATIVE head dim
     cropped: bool = False  # runtime grid is a crop of input_size (pad crop)
+    # Tensor parallelism: name of the mesh axis heads are sharded over.
+    # Routes through the XLA (non-Pallas) path — GSPMD cannot partition a
+    # custom call — and pins a head-sharded layout on the split q/k/v so the
+    # per-head attention math runs 1/m-per-device. `dp_axis` names the mesh
+    # axis the BATCH is sharded over (if any) so the constraint preserves
+    # data parallelism on a 2D (data x model) mesh. Requires an active mesh
+    # (jax.set_mesh) with d*m dividing batch*num_heads.
+    tp_axis: Optional[str] = None
+    dp_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,9 +176,11 @@ class Attention(nn.Module):
         # grouped kernel that was neutral-to-worse read pre-split q/k/v plus
         # HBM augmentation concats; reading the raw qkv projection removes
         # exactly the traffic it was paying.
-        use_fused = self.use_rel_pos and h * w >= 1024
+        use_fused = (
+            self.use_rel_pos and h * w >= 1024 and self.tp_axis is None
+        )
         use_fused_win = (
-            self.use_rel_pos and h * w < 1024
+            self.use_rel_pos and h * w < 1024 and self.tp_axis is None
             and (self.fused_window
                  or (self.padded_head_dim is not None and hdp % 128 == 0))
         )
@@ -221,6 +232,20 @@ class Attention(nn.Module):
             qkv = qkv.reshape(b, h * w, 3, self.num_heads, hdp)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(
                 3, b * self.num_heads, h * w, hdp)
+            if self.tp_axis is not None:
+                # Head-shard the split q/k/v: the qkv projection arrives
+                # replicated (its kernel is contraction-dim sharded and
+                # psum'ed — see parallel/tensor_parallel.py), so this
+                # constraint is a local slice, and every per-head op below
+                # (logits, rel-pos bias einsums, softmax, @v) inherits it.
+                from jax.sharding import PartitionSpec as _P
+
+                merged = tuple(
+                    a for a in (self.dp_axis, self.tp_axis) if a is not None
+                )
+                qkv = jax.lax.with_sharding_constraint(
+                    qkv, _P(None, merged, None, None)
+                )
             q, k, v = qkv[0], qkv[1], qkv[2]
             attn = (q * scale) @ jnp.swapaxes(k, -2, -1)
             if self.use_rel_pos:
@@ -304,6 +329,8 @@ class Block(nn.Module):
     padded_head_dim: Optional[int] = None
     fused_window: bool = False
     cropped: bool = False
+    tp_axis: Optional[str] = None
+    dp_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -331,6 +358,8 @@ class Block(nn.Module):
             padded_head_dim=self.padded_head_dim,
             fused_window=self.fused_window,
             cropped=self.cropped and self.window_size == 0,
+            tp_axis=self.tp_axis,
+            dp_axis=self.dp_axis,
             name="attn",
             dtype=self.dtype,
         )(x)
@@ -359,6 +388,16 @@ class ImageEncoderViT(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     use_abs_pos: bool = True
+    # Tensor parallelism: mesh axis to shard attention heads and the MLP
+    # hidden dim over (see parallel/tensor_parallel.py for the param specs
+    # and the collective layout). Cuts single-image encode latency ~1/m on
+    # an m-way model axis — the axis data parallelism can't touch (the
+    # interactive path encodes ONE frame on the critical path). Pallas
+    # fused kernels are bypassed under TP (GSPMD can't partition them).
+    # `dp_axis`: the mesh axis the image batch is sharded over, when TP is
+    # combined with data parallelism on a 2D mesh.
+    tp_axis: Optional[str] = None
+    dp_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -428,6 +467,8 @@ class ImageEncoderViT(nn.Module):
                     input_size=(grid, grid),
                     padded_head_dim=pad_hd,
                     cropped=cropped,
+                    tp_axis=self.tp_axis,
+                    dp_axis=self.dp_axis,
                     name=f"blocks_{i}",
                     dtype=self.dtype,
                 )(x)
@@ -457,6 +498,8 @@ class ImageEncoderViT(nn.Module):
                     pre_windowed=True,
                     padded_head_dim=None,
                     fused_window=pad_hd is not None,
+                    tp_axis=self.tp_axis,
+                    dp_axis=self.dp_axis,
                     name=f"blocks_{j}",
                     dtype=self.dtype,
                 )(x, pad_mask)

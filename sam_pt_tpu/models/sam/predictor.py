@@ -46,7 +46,29 @@ class SamPredictor:
         self.model = model
         self.antialias = antialias
         self.mesh = mesh
-        if mesh is not None:
+        tp_axis = getattr(model, "tp_axis", None)
+        if mesh is not None and tp_axis is not None:
+            # Tensor-parallel encoder over the mesh's `tp_axis` (heads + MLP
+            # hidden; see parallel/tensor_parallel.py), data-parallel over
+            # the mesh's remaining 'data' axis if present. Encoder kernels
+            # are contraction-sharded; everything else replicated.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ...parallel.tensor_parallel import shard_params_tp
+
+            if tp_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"model.tp_axis={tp_axis!r} not in mesh axes "
+                    f"{mesh.axis_names}"
+                )
+            params = shard_params_tp(params, mesh, axis=tp_axis)
+            dp = getattr(model, "dp_axis", None)
+            data = NamedSharding(mesh, P(dp) if dp else P())
+            self._data_sharding = data
+            self._encode_jit = jax.jit(self._encode, in_shardings=(None, data),
+                                       out_shardings=data)
+            self._decode_jit = jax.jit(self._decode)
+        elif mesh is not None:
             from ...parallel.mesh import batch_sharding, replicate
 
             params = replicate(params, mesh)
@@ -83,6 +105,11 @@ class SamPredictor:
             (th, tw),
             antialias=self.antialias,
         )
+        if self.mesh is not None and getattr(self.model, "tp_axis", None):
+            # bare-P sharding constraints inside the encoder need a mesh
+            # context at trace time
+            with jax.set_mesh(self.mesh):
+                return self._encode_jit(self.params, images)
         return self._encode_jit(self.params, images)
 
     # ------------------------------------------------------------------

@@ -44,11 +44,23 @@ class Sam(nn.Module):
     # global-attention layers and the decoder sees zeros off-image —
     # unvalidated against trained weights/J&F, so default OFF.
     crop_pad_tokens: bool = False
+    # Tensor parallelism for the ViT image encoder (the FLOP king): mesh
+    # axis name heads/MLP-hidden are sharded over. ViT variants only
+    # (TinyViT stays data-parallel — it is already cheap). `dp_axis` names
+    # the batch-sharded mesh axis when TP is combined with data parallelism
+    # on a 2D mesh. See parallel/tensor_parallel.py.
+    tp_axis: Optional[str] = None
+    dp_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     def setup(self):
         grid = self.image_size // 16
         if self.encoder_variant == "vit_t":  # MobileSAM TinyViT
+            if self.tp_axis is not None:
+                raise ValueError(
+                    "tp_axis is only supported for ViT encoder variants "
+                    "(vit_b/l/h), not TinyViT"
+                )
             from .tiny_vit import TinyViT
 
             self.image_encoder = TinyViT(
@@ -61,6 +73,8 @@ class Sam(nn.Module):
             self.image_encoder = ImageEncoderViT(
                 img_size=self.image_size,
                 out_chans=self.prompt_embed_dim,
+                tp_axis=self.tp_axis,
+                dp_axis=self.dp_axis,
                 dtype=self.dtype,
                 **cfg,
             )
