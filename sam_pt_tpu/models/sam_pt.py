@@ -96,13 +96,13 @@ def _patch_similarities_jit(images, flat_traj, qp, patch_size):
     tp = jax.vmap(lambda im, pts: patch_sample(im, pts, patch_size))(
         lab, flat_traj
     )  # [T, N, K*K, 3]
-    # patches around every QUERY point on every frame; select the query frame
-    q_xy = jnp.broadcast_to(qp[None, :, 1:], flat_traj.shape)
-    qp_all = jax.vmap(lambda im, pts: patch_sample(im, pts, patch_size))(
-        lab, q_xy
-    )  # [T, N, K*K, 3]
+    # template patch: each point sampled once, on its own query frame
+    # (gather the per-point frame, then one patch per point — not a patch on
+    # every frame with all but the query row discarded)
     q_t = qp[:, 0].astype(jnp.int32)
-    q_patches = qp_all[q_t, jnp.arange(qp.shape[0])]  # [N, K*K, 3]
+    q_patches = jax.vmap(
+        lambda im, pt: patch_sample(im, pt[None], patch_size)[0]
+    )(lab[q_t], qp[:, 1:])  # [N, K*K, 3]
 
     diff = (tp - q_patches[None]).reshape(*tp.shape[:2], -1)
     return jnp.exp(
@@ -237,7 +237,9 @@ class SamPt:
             query_points = self.extract_query_points(images, query_masks, timesteps)
         elif video.get("query_points") is not None:
             query_points = np.asarray(video["query_points"], np.float32)
-            query_masks = self.extract_query_masks(images, query_points)
+            query_masks = self.extract_query_masks(
+                images, query_points, embeddings=self._early_emb
+            )
         else:
             raise ValueError("No query points or masks provided")
         n_masks, n_points, _ = query_points.shape
@@ -339,10 +341,18 @@ class SamPt:
         raise NotImplementedError(f"Point selection method {method}")
 
     def extract_query_masks(
-        self, images: np.ndarray, query_points: np.ndarray
+        self, images: np.ndarray, query_points: np.ndarray,
+        embeddings=None,
     ) -> np.ndarray:
-        """Query masks from query points via SAM (reference :308-335)."""
-        frames = images[query_points[:, 0, 0].astype(np.int64)]  # [M, H, W, 3]
+        """Query masks from query points via SAM (reference :308-335).
+
+        `embeddings`: precomputed frame embeddings aligned with `images`
+        (sliced per query frame here) — the plain path already encoded the
+        whole video, so don't re-run the encoder on the query frames.
+        """
+        qidx = query_points[:, 0, 0].astype(np.int64)
+        frames = images[qidx]  # [M, H, W, 3]
+        emb = _emb_index(embeddings, qidx) if embeddings is not None else None
         # each mask's query frame becomes its own "frame" axis entry, with a
         # single mask per frame (reference :329-335)
         traj = query_points[:, None, :, 1:]  # [frames=M, masks=1, P, 2]
@@ -350,7 +360,7 @@ class SamPt:
         prev_mode = getattr(self, "_keep_logits_device", False)
         self._keep_logits_device = False  # this helper needs host masks
         try:
-            _, logits, _ = self._apply_sam(frames, traj, vis)
+            _, logits, _ = self._apply_sam(frames, traj, vis, embeddings=emb)
         finally:
             self._keep_logits_device = prev_mode
         # logits: [masks=1, frames=M, H, W] -> [M, H, W]
@@ -787,8 +797,8 @@ class SamPt:
             lambda *xs: jnp.concatenate(xs, axis=0), *chunks
         )
 
-    def _decode_pair_chunk(self, emb, pts, lbl, original_hw):
-        """One chunk of (frame, mask) pairs through the SAM decoder chain.
+    def _get_chain_fn(self, original_hw, upscale: bool):
+        """Jitted SAM decoder chain for one chunk of (frame, mask) pairs.
 
         Implements: single pass (no negatives), or positives-only pass ->
         all-points + mask-input pass (reference :782-807), then
@@ -796,12 +806,9 @@ class SamPt:
         The ENTIRE chain (up to 14 decoder passes) plus the final upscale is
         one jitted program — one dispatch per chunk instead of one per pass
         (dispatch latency is a first-order cost on remote-attached TPUs).
-        Returns (low_res [B, 4g, 4g], iou [B]).
+        The returned fn maps (params, emb, pts, lbl) -> (low_res or upscaled
+        logits, iou); compiled programs are cached per shape/flag key.
         """
-        chain = self._get_chain_fn(original_hw, upscale=False)
-        return chain(self.sam_predictor.params, emb, pts, lbl)
-
-    def _get_chain_fn(self, original_hw, upscale: bool):
         key = (
             tuple(original_hw),
             upscale,
@@ -1007,7 +1014,10 @@ class SamPt:
 
             if hasattr(self.point_tracker, "set_masks"):
                 q_masks = self.extract_query_masks(
-                    images[start:end_tracker], qp_i
+                    images[start:end_tracker], qp_i,
+                    embeddings=_emb_index(
+                        embeddings, slice(start, end_tracker)
+                    ),
                 )
                 self.point_tracker.set_masks(q_masks)
 
@@ -1046,7 +1056,11 @@ class SamPt:
 
             with np.errstate(invalid="ignore"):
                 chosen_area = area[np.arange(len(next_ts)), next_ts]
-            invalid = np.nan_to_num(chosen_area, nan=np.inf) <= 0
+            # NaN chosen area = every candidate mask in the window was empty
+            # or tiny (<= 25 px, masked to NaN above) -> reinit FAILED for
+            # that object (reference :508-539 pushes its query points past
+            # the video end and emits -inf logits).
+            invalid = np.nan_to_num(chosen_area, nan=0.0) <= 0
 
             tracked_idx = np.nonzero(tracked)[0]
             if (~invalid).any():

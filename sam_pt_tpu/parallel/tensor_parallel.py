@@ -102,5 +102,11 @@ def create_tp_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data or '?'}x{n_model} (data x model) needs "
+            f"{max(n_model, (n_data or 0) * n_model)} devices, but only "
+            f"{len(devices)} are available"
+        )
     arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=axis_names)

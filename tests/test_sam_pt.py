@@ -126,6 +126,79 @@ class TestReinit:
         assert out["visibilities"].shape[0] == t
 
 
+class TestReinitFailure:
+    def test_empty_masks_mark_reinit_failed(self):
+        """When every candidate reinit mask in a horizon window is empty,
+        the object must be marked REINIT_FAILED (points pushed past the
+        video end, -inf logits) instead of being silently re-tracked from
+        degenerate query points (reference sam_pt.py:508-539)."""
+        model = build_tiny_sam_pt(
+            use_point_reinit=True,
+            reinit_point_tracker_horizon=4,
+            reinit_horizon=3,
+            reinit_variant="reinit-at-median-of-area-diff",
+        )
+        t, h, w = 7, 48, 64
+        video = make_video(t=t, h=h, w=w, with_masks=True)
+
+        def empty_apply_sam(images, traj, vis, embeddings=None,
+                            device_images=None):
+            m = traj.shape[1]
+            ti = np.asarray(images).shape[0]
+            logits = np.full((m, ti, h, w), -10.0, np.float32)
+            spf = np.full((ti, m), 0.1, np.float32)
+            return np.full((m,), 0.1), logits, spf
+
+        model._apply_sam = empty_apply_sam
+        out = model.forward(video)
+
+        vis = np.asarray(out["visibilities"])  # [t, m, p]
+        horizon_end = 3  # first window = frames [0, 3)
+        assert (
+            vis[horizon_end:] == float(PointVisibilityType.REINIT_FAILED)
+        ).all(), "frames past the failed window must be REINIT_FAILED"
+        logits = np.stack([np.asarray(l) for l in out["logits"]])  # [m,t,h,w]
+        assert (logits[:, horizon_end:] < 0).all()
+
+
+class TestPatchSimilarities:
+    def test_matches_per_pair_reference(self):
+        """sim[t, i] = exp(-||patch(lab_t, traj[t,i]) - patch(lab_{q_t(i)},
+        qp_xy(i))|| / (2 p^2)) — checks the template patch is taken from each
+        point's own query frame (BGR->LAB per the reference quirk)."""
+        import jax.numpy as jnp
+        from sam_pt_tpu.models.sam_pt import _patch_similarities_jit
+        from sam_pt_tpu.ops.color import rgb_to_lab
+        from sam_pt_tpu.ops.sampling import patch_sample
+
+        rng = np.random.default_rng(11)
+        t, h, w, n, ps = 4, 24, 32, 5, 3
+        images = rng.integers(0, 255, size=(t, h, w, 3)).astype(np.uint8)
+        traj = rng.uniform([2, 2], [w - 3, h - 3], (t, n, 2)).astype(
+            np.float32)
+        qp = np.concatenate(
+            [rng.integers(0, t, (n, 1)).astype(np.float32),
+             traj[0, :, :]], axis=1).astype(np.float32)
+
+        got = np.asarray(_patch_similarities_jit(
+            jnp.asarray(images), jnp.asarray(traj), jnp.asarray(qp), ps))
+
+        lab = np.asarray(rgb_to_lab(jnp.asarray(images[..., ::-1])))
+        for i in range(n):
+            qt = int(qp[i, 0])
+            q_patch = np.asarray(patch_sample(
+                jnp.asarray(lab[qt]), jnp.asarray(qp[None, i, 1:]), ps))[0]
+            for ti in range(t):
+                t_patch = np.asarray(patch_sample(
+                    jnp.asarray(lab[ti]), jnp.asarray(traj[None, ti, i]),
+                    ps))[0]
+                ref = np.exp(
+                    -np.linalg.norm((t_patch - q_patch).ravel())
+                    / (2 * ps ** 2))
+                np.testing.assert_allclose(got[ti, i], ref, rtol=1e-4,
+                                           atol=1e-5)
+
+
 class TestDeterminism:
     def test_forward_is_deterministic(self):
         """Same video + fresh identically-seeded models -> identical outputs

@@ -55,6 +55,16 @@ class TestParamSpecs:
         assert p["neck_conv1"]["kernel"] == P()
 
 
+class TestCreateTpMesh:
+    def test_too_few_devices_raises(self):
+        with pytest.raises(ValueError, match="devices"):
+            create_tp_mesh(n_model=2 * len(jax.devices()))
+
+    def test_explicit_overcommit_raises(self):
+        with pytest.raises(ValueError, match="devices"):
+            create_tp_mesh(n_model=len(jax.devices()), n_data=2)
+
+
 class TestTensorParallelEncode:
     @pytest.fixture(scope="class")
     def ref(self):
