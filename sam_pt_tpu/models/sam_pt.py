@@ -889,52 +889,6 @@ class SamPt:
         iou = jnp.where(active, new_iou, iou)
         return low, iou
 
-    def _box_refine_step(self, emb, pts, lbl, low, iou, original_hw):
-        """One batched box-refinement pass; elements with <2 positive pixels
-        keep their previous prediction (reference's per-element break :812)."""
-        predictor = self.sam_predictor
-        g4 = low.shape[-1]
-        mask = low > 0  # [B, g4, g4]
-        area = mask.sum(axis=(1, 2))
-        active = area >= 2
-
-        # bbox on the low-res grid -> model-input coordinates (x4 upscale)
-        ys = jnp.arange(g4, dtype=jnp.float32)
-        xs = jnp.arange(g4, dtype=jnp.float32)
-        big = jnp.float32(1e9)
-        y_any = mask.any(axis=2)
-        x_any = mask.any(axis=1)
-        ymin = jnp.min(jnp.where(y_any, ys, big), axis=1)
-        ymax = jnp.max(jnp.where(y_any, ys, -big), axis=1)
-        xmin = jnp.min(jnp.where(x_any, xs, big), axis=1)
-        xmax = jnp.max(jnp.where(x_any, xs, -big), axis=1)
-        # low-res grid -> original pixel coords (the predictor then rescales
-        # all prompt coords, incl. these corners, back to model space)
-        th, tw = original_hw
-        from ..ops.resize import get_longest_side_target_hw
-
-        rh, rw = get_longest_side_target_hw(th, tw, predictor.model.image_size)
-        sx = tw / (rw / 4.0)
-        sy = th / (rh / 4.0)
-        box = jnp.stack([xmin * sx, ymin * sy, xmax * sx, ymax * sy], axis=1)
-
-        # append the two box-corner slots (labels 2, 3); inactive -> pad
-        corner_pts = box.reshape(-1, 2, 2)
-        corner_lbl = jnp.where(
-            active[:, None], jnp.array([2, 3], jnp.int32)[None, :], -1
-        )
-        pts2 = jnp.concatenate([pts, corner_pts], axis=1)
-        lbl2 = jnp.concatenate([lbl, corner_lbl], axis=1)
-
-        new_low, new_iou, _ = predictor.predict(
-            emb, pts2, lbl2, original_hw,
-            mask_input=low[:, :, :, None], mask_valid=jnp.ones(low.shape[0], bool),
-        )
-        new_low, new_iou = new_low[:, 0], new_iou[:, 0]
-        low = jnp.where(active[:, None, None], new_low, low)
-        iou = jnp.where(active, new_iou, iou)
-        return low, iou
-
     # ------------------------------------------------------------------
     # Point re-initialization (reference :355-543)
     # ------------------------------------------------------------------

@@ -185,9 +185,20 @@ class SamPtInteractive(SamPt):
         pass_bss: List[float] = []
         frame_idx = 0
         frame_interactions = 0
-        _, _, prev_ious, prev_bss = full_pass(trajectories, visibilities, point_labels)
-        prev_iou = float(np.mean(prev_ious))
-        prev_bs = float(np.mean(prev_bss))
+        # The all-frames IoU/boundary sweeps before and after each
+        # interaction feed ONLY the history dump (never control flow:
+        # advancement uses the single-frame iou_after, the threshold-ladder
+        # cache uses per-frame pass_ious) — skip them when history isn't
+        # kept; they decode every frame per interaction.
+        track_overall = self.save_history and not self.disable_point_tracking
+        if track_overall:
+            _, _, prev_ious, prev_bss = full_pass(
+                trajectories, visibilities, point_labels
+            )
+            prev_iou = float(np.mean(prev_ious))
+            prev_bs = float(np.mean(prev_bss))
+        else:
+            prev_iou = prev_bs = float("nan")
 
         while interactions_left > 0:
             if frame_idx == t:
@@ -282,7 +293,7 @@ class SamPtInteractive(SamPt):
             m_after, _, iou_after, bs_after, _, _ = frame_metrics(
                 frame_idx, trajectories, visibilities, point_labels
             )
-            if self.disable_point_tracking:
+            if not track_overall:
                 next_iou, next_bs = prev_iou, prev_bs
             else:
                 _, _, ni, nb = full_pass(trajectories, visibilities, point_labels)
@@ -396,10 +407,11 @@ class SamPtInteractive(SamPt):
                 [np.arange(sl.start, sl.stop), np.full(chunk - nb, sl.start)]
             )
             emb = _emb_index(embeddings, jnp.asarray(idx))
-            low, iou = self._decode_interactive_chunk(
-                emb, jnp.asarray(pts[rows]), jnp.asarray(lbl[rows]), (h, w)
+            chain = self._get_interactive_chain_fn((h, w))
+            up, iou = chain(
+                self.sam_predictor.params, emb,
+                jnp.asarray(pts[rows]), jnp.asarray(lbl[rows]),
             )
-            up = self.sam_predictor.upscale_logits(low, (h, w))
             logits[sl] = np.asarray(up)[:nb]
             scores[sl] = np.asarray(iou)[:nb]
 
@@ -407,27 +419,45 @@ class SamPtInteractive(SamPt):
         scores[~has_pos] = 0.0
         return logits, scores
 
-    def _decode_interactive_chunk(self, emb, pts, lbl, original_hw):
-        """Positives-only pass -> +negatives pass -> box refinement
-        (reference predict_mask :133-188)."""
-        predictor = self.sam_predictor
-        pos_lbl = jnp.where(lbl == 1, 1, -1)
-        low1, iou1, _ = predictor.predict(emb, pts, pos_lbl, original_hw)
-        low, iou = low1[:, 0], iou1[:, 0]
+    def _get_interactive_chain_fn(self, original_hw):
+        """ONE jitted program per (hw, refine-iters): positives-only pass ->
+        +negatives pass -> box refinement -> upscale (reference predict_mask
+        :133-188). The interaction loop calls this on every frame-metrics
+        evaluation, so per-pass dispatches (~25 ms RTT each on the
+        remote-attached chip) would dominate; fusing the chain makes each
+        evaluation a single dispatch, mirroring `SamPt._get_chain_fn`."""
+        key = (tuple(original_hw), self.iterative_refinement_iterations)
+        cache = getattr(self, "_ichain_fns", None)
+        if cache is None:
+            cache = self._ichain_fns = {}
+        if key not in cache:
+            predictor = self.sam_predictor
+            refine_iters = self.iterative_refinement_iterations
 
-        has_neg = (lbl == 0).any(axis=1)
-        low2, iou2, _ = predictor.predict(
-            emb, pts, lbl, original_hw,
-            mask_input=low[:, :, :, None],
-            mask_valid=jnp.ones(low.shape[0], bool),
-        )
-        low = jnp.where(has_neg[:, None, None], low2[:, 0], low)
-        iou = jnp.where(has_neg, iou2[:, 0], iou)
+            def chain(params, emb, pts, lbl):
+                lbl = lbl.astype(jnp.int32)
+                pts_model = predictor.scale_coords(pts, original_hw)
+                pos_lbl = jnp.where(lbl == 1, 1, -1)
+                m1, i1 = predictor._decode(
+                    params, emb, pts_model, pos_lbl, None, None
+                )
+                low, iou = m1[:, 0], i1[:, 0]
+                has_neg = (lbl == 0).any(axis=1)
+                m2, i2 = predictor._decode(
+                    params, emb, pts_model, lbl,
+                    low[:, :, :, None], jnp.ones(low.shape[0], bool),
+                )
+                low = jnp.where(has_neg[:, None, None], m2[:, 0], low)
+                iou = jnp.where(has_neg, i2[:, 0], iou)
+                for _ in range(refine_iters):
+                    low, iou = self._box_refine_impl(
+                        params, emb, pts_model, lbl, low, iou, original_hw
+                    )
+                up = predictor.upscale_logits(low, original_hw)
+                return up, iou
 
-        for _ in range(self.iterative_refinement_iterations):
-            low, iou = self._box_refine_step(emb, pts, lbl, low, iou,
-                                             original_hw)
-        return low, iou
+            cache[key] = jax.jit(chain)
+        return cache[key]
 
     def _dump_history(self, video, history, cache, trajectories, visibilities,
                       point_labels, logits):

@@ -226,24 +226,56 @@ def evaluate(cfg) -> Dict:
     max_frames = cfg.get("max_frames")
     vid_ids = cfg.get("vid_ids")
     masks_batch_size = cfg.get("masks_batch_size", 100)
+    if cfg.get("simulate_interactive_point_correction", False):
+        # SamPtInteractive simulates one object at a time (its forward
+        # asserts n_masks == 1), and the per-batch gt_masks slice below is
+        # aligned only at batch size 1
+        masks_batch_size = 1
     save_all = cfg.get("save_all", False)
 
     total_process_time = 0.0
     total_frames = 0
     prev_video: Optional[_PendingVideo] = None  # cross-video pipelining
 
-    def _save_pngs(pv: _PendingVideo, index_masks: np.ndarray) -> None:
-        for ti in range(pv.t_frames):
-            info = pv.infos[ti]
+    def _save_outputs(infos_v, t_frames_v, mapper_v, palette_v, vid_name_v,
+                      index_masks: np.ndarray, probs=None) -> None:
+        """Palette PNGs for save frames (+ probability .npz when scoring).
+
+        Shared by the device-fusion (deferred download) and host-fusion
+        paths. With `probs`, the label-remapping backward.json is written
+        unconditionally — score consumers need it even when the final frame
+        is not a save frame."""
+        for ti in range(t_frames_v):
+            info = infos_v[ti]
             if not (save_all or info["save"]):
                 continue
-            out_mask = pv.mapper.remap_index_mask(index_masks[ti])
-            this_out = path.join(out_path, pv.vid_name)
+            out_mask = mapper_v.remap_index_mask(index_masks[ti])
+            this_out = path.join(out_path, vid_name_v)
             os.makedirs(this_out, exist_ok=True)
             img = Image.fromarray(out_mask)
-            if pv.palette is not None:
-                img.putpalette(pv.palette)
+            if palette_v is not None:
+                img.putpalette(palette_v)
             img.save(path.join(this_out, info["frame"][:-4] + ".png"))
+            if probs is not None:
+                np_path = path.join(cfg["output"], "Scores", vid_name_v)
+                os.makedirs(np_path, exist_ok=True)
+                np.savez_compressed(
+                    path.join(np_path, info["frame"][:-4] + ".npz"),
+                    probs=(probs[ti] * 255).astype(np.uint8),
+                )
+        if probs is not None:
+            import json
+
+            np_path = path.join(cfg["output"], "Scores", vid_name_v)
+            os.makedirs(np_path, exist_ok=True)
+            with open(path.join(np_path, "backward.json"), "w") as f:
+                json.dump(
+                    {int(k): int(v)
+                     for k, v in mapper_v.remappings.items()}, f)
+
+    def _save_pngs(pv: _PendingVideo, index_masks: np.ndarray) -> None:
+        _save_outputs(pv.infos, pv.t_frames, pv.mapper, pv.palette,
+                      pv.vid_name, index_masks)
 
     for vid_id, vid_reader in enumerate(meta_dataset.get_datasets()):
         if vid_ids is not None and vid_id not in vid_ids:
@@ -406,33 +438,11 @@ def evaluate(cfg) -> Dict:
         total_frames += t_frames
 
         # save palette PNGs (+ optional per-frame probability arrays)
-        for ti in range(t_frames):
-            info = infos[ti]
-            if not (save_all or info["save"]):
-                continue
-            out_mask = index_masks[ti]
-            out_mask = mapper.remap_index_mask(out_mask)
-            this_out = path.join(out_path, vid_name)
-            os.makedirs(this_out, exist_ok=True)
-            img = Image.fromarray(out_mask)
-            if vid_reader.get_palette() is not None:
-                img.putpalette(vid_reader.get_palette())
-            img.save(path.join(this_out, info["frame"][:-4] + ".png"))
-
-            if cfg.get("save_scores", False):
-                np_path = path.join(cfg["output"], "Scores", vid_name)
-                os.makedirs(np_path, exist_ok=True)
-                np.savez_compressed(
-                    path.join(np_path, info["frame"][:-4] + ".npz"),
-                    probs=(probs[ti] * 255).astype(np.uint8),
-                )
-                if ti == t_frames - 1:
-                    with open(path.join(np_path, "backward.json"), "w") as f:
-                        import json
-
-                        json.dump(
-                            {int(k): int(v)
-                             for k, v in mapper.remappings.items()}, f)
+        _save_outputs(
+            infos, t_frames, mapper, vid_reader.get_palette(), vid_name,
+            index_masks,
+            probs=probs if cfg.get("save_scores", False) else None,
+        )
 
     if prev_video is not None:  # resolve the last video's deferred download
         t0 = time.perf_counter()
@@ -463,9 +473,13 @@ def evaluate(cfg) -> Dict:
             and cfg.get("score", True):
         sequences = "all"
         if vid_ids is not None or max_videos is not None:
+            # harness-owned output dirs are NOT sequences (the 'logs' dir is
+            # created by RunLogger above; 'Scores' by save_scores)
+            non_sequence = {"overlapping", "logs", "Scores", "Annotations"}
             sequences = sorted(
                 s for s in os.listdir(cfg["output"])
-                if "." not in s and s != "overlapping"
+                if "." not in s and s not in non_sequence
+                and path.isdir(path.join(cfg["output"], s))
             )
         df_global, df_per_seq = Davis2017Evaluator(
             results_path=cfg["output"],

@@ -151,6 +151,39 @@ class TestEndToEndEval:
         outs = os.listdir(tmp_path / "out" / "vid0")
         assert len(outs) == 4
 
+    def test_synthetic_davis_subset_scoring(self, tmp_path):
+        """max_videos subset scoring lists sequences from the output dir —
+        it must skip harness-owned dirs (logs/, Scores/) or the DAVIS
+        evaluator crashes trying to open them as sequences."""
+        from sam_pt_tpu.vos_eval.eval import evaluate
+
+        davis_root = tmp_path / "DAVIS2017"
+        fabricate_davis(str(davis_root))
+
+        cfg = {
+            "seed": 72,
+            "dataset": "D17",
+            "split": "val",
+            "size": 480,
+            "longest_size": None,
+            "d17_path": str(davis_root),
+            "output": str(tmp_path / "out"),
+            "save_all": False,
+            "masks_batch_size": 100,
+            "max_videos": 1,
+            "max_frames": None,
+            "vid_ids": None,
+            "score": True,
+            "model": {
+                "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
+                "height": 48,
+                "width": 64,
+            },
+        }
+        results = evaluate(cfg)
+        assert "J&F-Mean" in results
+        assert 0.0 <= results["J&F-Mean"] <= 1.0
+
     def test_synthetic_davis_data_parallel(self, tmp_path):
         """The whole harness with the model sharded over the 8-device mesh
         (model.data_parallel=true) must match the unsharded scores."""
