@@ -427,12 +427,11 @@ class SamPt:
         m, p, _ = query_points.shape
         bs = self.point_tracker_mask_batch_size
 
+        video_b = images_dev[None]  # one object -> tracker feature cache hits
         trajs, viss = [], []
         for i in range(0, m, bs):
             batch = query_points[i : i + bs].reshape(1, -1, 3)
-            out_t, out_v = self.point_tracker.forward_device(
-                images_dev[None], batch
-            )
+            out_t, out_v = self.point_tracker.forward_device(video_b, batch)
             nb = min(bs, m - i)
             trajs.append(out_t[0].reshape(t, nb, p, 2))
             viss.append(out_v[0].reshape(t, nb, p))
@@ -533,12 +532,14 @@ class SamPt:
 
         images_for_tracker = images if images_dev is None else images_dev
 
+        # ONE batched-video object across mask batches: trackers key their
+        # per-video feature cache on this object's identity, so the CNN
+        # encoder runs once per video instead of once per mask batch
+        video_b = images_for_tracker[None]
         trajs, viss = [], []
         for i in range(0, m, bs):
             batch = query_points[i : i + bs].reshape(1, -1, 3)
-            out_t, out_v = self.point_tracker.forward(
-                images_for_tracker[None], batch
-            )
+            out_t, out_v = self.point_tracker.forward(video_b, batch)
             nb = min(bs, m - i)
             trajs.append(out_t[0].reshape(t, nb, p, 2))
             viss.append(out_v[0].reshape(t, nb, p))

@@ -83,19 +83,6 @@ class CoTrackerPointTracker(PointTracker):
                 p, rgbs, method=CoTracker.encode_frames
             )
         )
-        self._window = jax.jit(self._window_fn, static_argnames=("iters",))
-        self._sample = jax.jit(
-            lambda fmap, xys: bilinear_sample(
-                fmap, xys[:, 0], xys[:, 1], pad_mode="clamp"
-            )
-        )
-
-    def _window_fn(self, params, fmaps_win, coords_init, feats_init,
-                   track_mask, iters):
-        return self.model.apply(
-            params, fmaps_win, coords_init, feats_init, track_mask,
-            iters=iters,
-        )
 
     def init_params(self, key, height: int = 64, width: int = 64,
                     n_points: int = 4):
@@ -129,21 +116,6 @@ class CoTrackerPointTracker(PointTracker):
                 )
             out.append(self._encode(self.params, chunk)[: ec - pad])
         return jnp.concatenate(out, axis=0)
-
-    def _track(self, rgbs: np.ndarray, queries: np.ndarray):
-        """rgbs [T, h, w, 3] (interp_shape); queries [N, 3] (t, x, y).
-
-        The whole sliding-window chain runs as ONE jitted `lax.scan` over the
-        (static) window starts — one host round trip per direction instead of
-        one per window.
-
-        Returns (traj [T, N, 2] float zeros before query frame,
-                 vis [T, N] sigmoid scores).
-        """
-        t = rgbs.shape[0]
-        fmaps = self._encode_video(rgbs)
-        traj, vis = self._track_jit(self.params, fmaps, jnp.asarray(queries), t)
-        return np.asarray(traj), np.asarray(vis)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _track_jit(self, params, fmaps, queries, t):
@@ -252,8 +224,16 @@ class CoTrackerPointTracker(PointTracker):
             queries = np.concatenate([qp] + extra, axis=0).astype(np.float32)
 
         # encode once; the backward pass reuses the flipped feature maps
-        # (the reference re-encodes the flipped video, tracker.py:155-161)
-        fmaps = self._encode_video(video)
+        # (the reference re-encodes the flipped video, tracker.py:155-161).
+        # One-slot per-video cache: the orchestrator calls per MASK BATCH
+        # with the identical video object, so key on its identity and skip
+        # the CNN encoder on repeat calls.
+        cache = getattr(self, "_fmap_cache", None)
+        if cache is not None and cache[0] is rgbs and cache[1] == video.shape:
+            fmaps = cache[2]
+        else:
+            fmaps = self._encode_video(video)
+            self._fmap_cache = (rgbs, video.shape, fmaps)
         traj_f, vis_f = self._track_jit(
             self.params, fmaps, jnp.asarray(queries), t)
 

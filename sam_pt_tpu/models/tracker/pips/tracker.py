@@ -77,26 +77,6 @@ class PipsPointTracker(PointTracker):
         self._encode = jax.jit(
             lambda p, rgbs: self.model.apply(p, rgbs, method=Pips.encode_frames)
         )
-        self._window = jax.jit(self._window_fn, static_argnames=("iters",))
-        self._sample = jax.jit(self._sample_fn)
-        self._gather_window = jax.jit(self._gather_window_fn)
-
-    # -- jitted helpers -------------------------------------------------
-    def _window_fn(self, params, fmaps_win, xys, feat_init, iters):
-        coords, vis_logits, _ = self.model.apply(
-            params, fmaps_win, xys, feat_init, iters=iters
-        )
-        return coords, jax.nn.sigmoid(vis_logits)
-
-    @staticmethod
-    def _sample_fn(fmap, xys, stride):
-        g = xys / stride
-        return bilinear_sample(fmap, g[:, 0], g[:, 1], pad_mode="clamp")
-
-    def _gather_window_fn(self, fmaps, start):
-        t = fmaps.shape[0]
-        idx = jnp.minimum(start + jnp.arange(self.s), t - 1)
-        return jnp.take(fmaps, idx, axis=0)
 
     # -- parameter init (tests / benchmarks without a checkpoint) -------
     def init_params(self, key, height: int, width: int, n_points: int = 8):
@@ -205,10 +185,17 @@ class PipsPointTracker(PointTracker):
             safe_frames = jnp.minimum(frames, t - 1)
             cur_t = traj[safe_frames]
             cur_v = vis[safe_frames]
-            traj = traj.at[safe_frames].set(
-                jnp.where(wmask[..., None], coords, cur_t)
+            # scatter with UNCLAMPED indices + mode='drop': when the window
+            # overhangs the video end, clamping would make t-1 a duplicate
+            # index whose stale payload could nondeterministically overwrite
+            # the real frame t-1 update (jnp duplicate-index .set order is
+            # implementation-defined); dropped rows never land instead
+            traj = traj.at[frames].set(
+                jnp.where(wmask[..., None], coords, cur_t), mode="drop"
             )
-            vis = vis.at[safe_frames].set(jnp.where(wmask, wvis, cur_v))
+            vis = vis.at[frames].set(
+                jnp.where(wmask, wvis, cur_v), mode="drop"
+            )
 
             # frontier advancement with decaying visibility threshold
             thresh = jnp.where(active, self.vis_threshold0, 0.0)
@@ -247,12 +234,20 @@ class PipsPointTracker(PointTracker):
             self.init_params(jax.random.PRNGKey(0), 64, 64)
         from ..api import as_device_video
 
+        rgbs_in = rgbs  # identity key for the per-video feature cache
         rgbs = as_device_video(rgbs)  # uint8 on device, uploaded once
         qp = np.asarray(query_points, np.float32)[0]
         t = rgbs.shape[0]
         n = qp.shape[0]
 
-        fmaps = self.encode_video(rgbs)
+        # one-slot per-video cache: the orchestrator calls per mask batch
+        # with the identical video object — encode the CNN features once
+        cache = getattr(self, "_fmap_cache", None)
+        if cache is not None and cache[0] is rgbs_in and cache[1] == rgbs.shape:
+            fmaps = cache[2]
+        else:
+            fmaps = self.encode_video(rgbs)
+            self._fmap_cache = (rgbs_in, rgbs.shape, fmaps)
 
         traj_fwd, vis_fwd = self._forward_direction(fmaps, qp)
 

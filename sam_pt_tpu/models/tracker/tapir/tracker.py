@@ -87,15 +87,20 @@ class TapirPointTracker(PointTracker):
         assert rgbs.shape[0] == 1, "TAPIR runs per-video"
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
-        video = np.asarray(rgbs, np.float32)[0]
+        from ..api import as_device_video
+
+        video = as_device_video(rgbs)  # [T, H, W, 3] uint8 on device
         qp = np.asarray(query_points, np.float32)[0]
         t, h, w, _ = video.shape
         n = qp.shape[0]
 
-        frames = np.asarray(
-            resize_bilinear(jnp.asarray(video), TRAIN_SIZE)
+        # resize + normalization stay on device: the video uploads once as
+        # uint8 (4x less wire traffic than float32) and never round-trips
+        # back to the host
+        frames_dev = (
+            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE)
+            / 255.0 * 2.0 - 1.0
         )
-        frames = frames / 255.0 * 2.0 - 1.0
 
         # (t, x, y) -> scaled (t, y, x) in 256-raster coords
         q_tyx = np.stack(
@@ -107,7 +112,6 @@ class TapirPointTracker(PointTracker):
             axis=-1,
         ).astype(np.float32)
 
-        frames_dev = jnp.asarray(frames)
         cs = min(self.query_chunk_size, n)
         tracks = np.zeros((n, t, 2), np.float32)
         occ = np.zeros((n, t), np.float32)

@@ -80,13 +80,18 @@ class TapNetPointTracker(PointTracker):
         assert rgbs.shape[0] == 1, "TapNet runs per-video"
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
-        video = np.asarray(rgbs, np.float32)[0]
+        from ..api import as_device_video
+
+        video = as_device_video(rgbs)  # [T, H, W, 3] uint8 on device
         qp = np.asarray(query_points, np.float32)[0]
         t, h, w, _ = video.shape
         n = qp.shape[0]
 
-        frames = np.asarray(resize_bilinear(jnp.asarray(video), TRAIN_SIZE))
-        frames = frames / 255.0 * 2.0 - 1.0
+        # resize + normalization on device; the video uploads once as uint8
+        frames_dev = (
+            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE)
+            / 255.0 * 2.0 - 1.0
+        )
 
         q_tyx = np.stack(
             [
@@ -96,8 +101,6 @@ class TapNetPointTracker(PointTracker):
             ],
             axis=-1,
         ).astype(np.float32)
-
-        frames_dev = jnp.asarray(frames)
         cs = min(self.query_chunk_size, n)
         tracks = np.zeros((n, t, 2), np.float32)
         occ = np.zeros((n, t), np.float32)
