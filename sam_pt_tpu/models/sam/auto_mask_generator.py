@@ -43,7 +43,7 @@ def mask_to_box(mask: np.ndarray) -> np.ndarray:
 
 def box_nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float) -> np.ndarray:
     """Greedy NMS; returns kept indices (torchvision.ops.nms semantics)."""
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")  # deterministic ties
     keep = []
     while len(order) > 0:
         i = order[0]
@@ -105,24 +105,43 @@ class SamAutomaticMaskGenerator:
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image [H, W, 3] uint8 RGB -> list of mask records (SAM schema)."""
         h, w = image.shape[:2]
-        records = self._generate_for_crop(image, (0, 0, w, h), self.point_grids[0])
+        crop_groups = [
+            self._generate_for_crop(
+                image, (0, 0, w, h), self.point_grids[0], (h, w)
+            )
+        ]
 
         # crop layers (rarely used; crop_n_layers=0 in the reference config)
         for layer in range(1, self.crop_n_layers + 1):
             for crop_box in self._crop_boxes(h, w, layer):
                 x0, y0, x1, y1 = crop_box
                 sub = image[y0:y1, x0:x1]
-                recs = self._generate_for_crop(
-                    sub, crop_box, self.point_grids[layer]
-                )
-                records.extend(recs)
+                crop_groups.append(self._generate_for_crop(
+                    sub, crop_box, self.point_grids[layer], (h, w)
+                ))
 
+        # within-crop NMS on predicted IoU (segment_anything _process_crop)
+        records: List[Dict] = []
+        for recs in crop_groups:
+            if not recs:
+                continue
+            boxes = np.stack([r["bbox_xyxy"] for r in recs])
+            scores = np.array([r["predicted_iou"] for r in recs])
+            keep = box_nms(boxes, scores, self.box_nms_thresh)
+            records.extend(recs[i] for i in keep)
         if not records:
             return []
-        boxes = np.stack([r["bbox_xyxy"] for r in records])
-        scores = np.array([r["predicted_iou"] for r in records])
-        keep = box_nms(boxes, scores, self.box_nms_thresh)
-        records = [records[i] for i in keep]
+
+        # between-crop NMS: prefer masks from SMALLER crops (score =
+        # 1/crop-area, segment_anything generate_masks semantics)
+        if len(crop_groups) > 1:
+            boxes = np.stack([r["bbox_xyxy"] for r in records])
+            scores = np.array([
+                1.0 / max(r["crop_box"][2] * r["crop_box"][3], 1)
+                for r in records
+            ])
+            keep = box_nms(boxes, scores, self.crop_nms_thresh)
+            records = [records[i] for i in keep]
 
         if self.min_mask_region_area > 0:
             records = self._postprocess_small_regions(records)
@@ -138,7 +157,7 @@ class SamAutomaticMaskGenerator:
         return out
 
     # ------------------------------------------------------------------
-    def _generate_for_crop(self, image, crop_box, grid) -> List[Dict]:
+    def _generate_for_crop(self, image, crop_box, grid, full_hw) -> List[Dict]:
         x0, y0, x1, y1 = crop_box
         h, w = image.shape[:2]
         predictor = self.predictor
@@ -191,16 +210,25 @@ class SamAutomaticMaskGenerator:
                 low[sel], iou[sel], src_pts[sel], stability[sel]
             )
 
+            # pad survivors up to a bucket size so upscale_logits sees a
+            # bounded set of batch shapes (a data-dependent K per chunk
+            # would trigger a fresh XLA compile for every distinct count)
+            k = low.shape[0]
+            bucket = min(3 * bs, int(np.ceil(k / 32) * 32)) or k
+            if bucket > k:
+                low = np.concatenate(
+                    [low, np.zeros((bucket - k, *low.shape[1:]), low.dtype)]
+                )
             full = np.asarray(
                 predictor.upscale_logits(jnp.asarray(low), (h, w))
-            ) > mt
+            )[:k] > mt
             for m, s, p, st in zip(full, iou, src_pts, stability):
                 box = mask_to_box(m)
                 if m.sum() == 0:
                     continue
                 kept.append(
                     {
-                        "segmentation": self._offset_mask(m, crop_box),
+                        "segmentation": self._offset_mask(m, crop_box, full_hw),
                         "bbox_xyxy": box + np.array([x0, y0, x0, y0], np.float32),
                         "predicted_iou": float(s),
                         "point_coords": [[float(p[0] + x0), float(p[1] + y0)]],
@@ -211,14 +239,15 @@ class SamAutomaticMaskGenerator:
         return kept
 
     @staticmethod
-    def _offset_mask(mask, crop_box):
+    def _offset_mask(mask, crop_box, full_hw):
+        """Place a crop-local mask onto the FULL-image canvas so every
+        record's segmentation has the same (H, W) shape."""
         x0, y0, x1, y1 = crop_box
-        if x0 == 0 and y0 == 0:
+        fh, fw = full_hw
+        if mask.shape == (fh, fw):
             return mask
-        full = np.zeros(
-            (y0 + mask.shape[0], x0 + mask.shape[1]), bool
-        )  # caller-normalized later; crops are rare
-        full[y0:, x0:] = mask
+        full = np.zeros((fh, fw), bool)
+        full[y0:y0 + mask.shape[0], x0:x0 + mask.shape[1]] = mask
         return full
 
     def _crop_boxes(self, h, w, layer):
@@ -235,18 +264,40 @@ class SamAutomaticMaskGenerator:
         return boxes
 
     def _postprocess_small_regions(self, records):
+        """Remove small disconnected islands AND fill small holes, recompute
+        boxes, then NMS-dedup preferring UNCHANGED masks (score 1 vs 0) —
+        segment_anything postprocess_small_regions semantics."""
         try:
             import cv2
         except ImportError:
             return records
-        out = []
-        for r in records:
-            m = r["segmentation"].astype(np.uint8)
-            n_lbl, lbl, stats, _ = cv2.connectedComponentsWithStats(m, 8)
+
+        def _remove(m: np.ndarray, holes: bool) -> Tuple[np.ndarray, bool]:
+            work = (~m if holes else m).astype(np.uint8)
+            n_lbl, lbl, stats, _ = cv2.connectedComponentsWithStats(work, 8)
+            changed = False
             for k in range(1, n_lbl):
                 if stats[k, cv2.CC_STAT_AREA] < self.min_mask_region_area:
-                    m[lbl == k] = 0
-            if m.sum() > 0:
-                r["segmentation"] = m.astype(bool)
-                out.append(r)
-        return out
+                    work[lbl == k] = 0
+                    changed = True
+            out = ~work.astype(bool) if holes else work.astype(bool)
+            return out, changed
+
+        out, scores = [], []
+        for r in records:
+            m = r["segmentation"]
+            m, ch_holes = _remove(m, holes=True)
+            m, ch_islands = _remove(m, holes=False)
+            if m.sum() == 0:
+                continue
+            changed = ch_holes or ch_islands
+            r["segmentation"] = m
+            r["bbox_xyxy"] = mask_to_box(m)  # boxes must track the new mask
+            out.append(r)
+            scores.append(0.0 if changed else 1.0)
+        if not out:
+            return out
+        # dedup: an unchanged duplicate (score 1) suppresses its altered twin
+        boxes = np.stack([r["bbox_xyxy"] for r in out])
+        keep = box_nms(boxes, np.asarray(scores), self.box_nms_thresh)
+        return [out[i] for i in sorted(keep)]

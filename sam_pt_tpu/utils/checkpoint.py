@@ -148,8 +148,6 @@ def hf_sam_to_sam_state_dict(hf_sd: Dict[str, Any]) -> Dict[str, Any]:
             if nk.startswith(src):
                 nk = dst + nk[len(src):]
                 break
-        # blocks rename happens before the generic vision_encoder. rename
-        nk = nk.replace("vision_encoder.blocks.", "image_encoder.blocks.")
         out[nk] = v
     return out
 
@@ -821,10 +819,6 @@ def convert_tapir_haiku_params(hk_params: Dict[str, Any]) -> Dict[str, Any]:
             node = node.setdefault(k, {})
         node[keys[-1]] = np.asarray(value)
 
-    def find(substr):
-        hits = [k for k in hk_params if substr in k]
-        return hits
-
     for key, leaf in hk_params.items():
         parts = key.replace("~/", "").replace("tapir/", "").split("/")
         mapped = _map_tapir_module(parts)
@@ -875,6 +869,8 @@ def _map_tapir_module(parts):
 def load_tapir_checkpoint(path: str, template=None):
     hk_params = load_haiku_npy(path)
     params = convert_tapir_haiku_params(hk_params)
+    if template is not None:
+        validate_against_template(params, template)
     return params
 
 

@@ -208,6 +208,59 @@ class TestAutoMaskGenerator:
                               "point_coords", "stability_score", "area"}
             assert r["segmentation"].shape == (48, 64)
 
+    def test_crop_layers_full_image_masks(self, rng):
+        """crop_n_layers >= 1: every record's segmentation must be on the
+        FULL image canvas (crops used to emit crop-local shapes that broke
+        np.stack in the VIS adapter), and between-crop NMS must run."""
+        from sam_pt_tpu.models.sam.auto_mask_generator import (
+            SamAutomaticMaskGenerator,
+        )
+        from sam_pt_tpu.utils.testing import build_tiny_predictor
+
+        gen = SamAutomaticMaskGenerator(
+            model=build_tiny_predictor(),
+            points_per_side=2,
+            points_per_batch=4,
+            pred_iou_thresh=-1e9,
+            stability_score_thresh=0.0,
+            crop_n_layers=1,
+        )
+        img = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+        records = gen.generate(img)
+        assert records, "random-weight generation produced no masks"
+        for r in records:
+            assert r["segmentation"].shape == (48, 64)
+        np.stack([r["segmentation"] for r in records])  # adapter's stack
+
+    def test_small_region_postprocess_updates_boxes(self):
+        """Island removal + hole filling must recompute the record bbox."""
+        from sam_pt_tpu.models.sam.auto_mask_generator import (
+            SamAutomaticMaskGenerator, mask_to_box,
+        )
+        from sam_pt_tpu.utils.testing import build_tiny_predictor
+
+        gen = SamAutomaticMaskGenerator(
+            model=build_tiny_predictor(), min_mask_region_area=10,
+        )
+        m = np.zeros((32, 32), bool)
+        m[4:16, 4:16] = True   # main region (144 px)
+        m[8:10, 8:10] = False  # small hole (4 px) -> filled
+        m[28:30, 28:30] = True  # distant speck (4 px) -> removed
+        rec = {
+            "segmentation": m.copy(),
+            "bbox_xyxy": mask_to_box(m),
+            "predicted_iou": 0.9,
+            "crop_box": [0, 0, 32, 32],
+        }
+        out = gen._postprocess_small_regions([rec])
+        assert len(out) == 1
+        got = out[0]["segmentation"]
+        assert got[8:10, 8:10].all(), "hole must be filled"
+        assert not got[28:30, 28:30].any(), "speck must be removed"
+        np.testing.assert_array_equal(
+            out[0]["bbox_xyxy"], np.array([4, 4, 16, 16], np.float32)
+        )
+
 
 class TestEndToEndVIS:
     def test_synthetic_uvo(self, tmp_path, rng):
