@@ -204,8 +204,11 @@ class BasicUpdateBlock(nn.Module):
 def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """[B, h, w, 2] coarse flow + [B, h, w, 64*9] weights -> [B, 8h, 8w, 2]."""
     b, h, w, _ = flow.shape
-    mask = mask.reshape(b, h, w, 8, 8, 9)
-    mask = jax.nn.softmax(mask, axis=-1)
+    # channel layout follows the torch reference's mask.view(N, 1, 9, 8, 8,
+    # H, W) (raft_core/raft.py:78): the 9 convex weights are the SLOWEST-
+    # varying channel group, then the 8x8 subpixel offsets
+    mask = mask.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
 
     patches = jax.lax.conv_general_dilated_patches(
         (8.0 * flow).transpose(0, 3, 1, 2),  # NCHW
@@ -213,7 +216,7 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     )  # [B, 2*9, h, w]
     patches = patches.reshape(b, 2, 9, h, w).transpose(0, 3, 4, 1, 2)
 
-    up = jnp.einsum("bhwuvk,bhwck->bhwuvc", mask, patches)
+    up = jnp.einsum("bhwkuv,bhwck->bhwuvc", mask, patches)
     up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
     return up
 

@@ -52,8 +52,11 @@ def read_image(path: Path, resize, rotation: int, resize_float: bool):
 
 
 def rotate_intrinsics(K, image_shape, rot: int):
-    """Adjust intrinsics for a k*90deg image rotation (reference utils)."""
-    h, w = image_shape[:2]
+    """Adjust intrinsics for a k*90deg image rotation (reference
+    models/utils.py:318-335). `image_shape` is the POST-rotation shape, so
+    odd rotations read (h, w) swapped to recover the pre-rotation dims the
+    offset formulas are written in."""
+    h, w = image_shape[:2][::-1] if rot % 2 else image_shape[:2]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     rot = rot % 4
     if rot == 1:
@@ -292,12 +295,15 @@ def main(argv=None):
                         output_dir / f"{stem0}_{stem1}_matches.png")
 
         if opt.eval:
-            K0 = scale_intrinsics(rotate_intrinsics(
-                np.array(pair[4:13], float).reshape(3, 3),
-                image0.shape, rot0), scales0)
-            K1 = scale_intrinsics(rotate_intrinsics(
-                np.array(pair[13:22], float).reshape(3, 3),
-                image1.shape, rot1), scales1)
+            # reference order (match_pairs.py:300-311): scale to the resized
+            # raster FIRST, then rotate — (w-1-cx) offsets don't commute
+            # with scaling
+            K0 = rotate_intrinsics(scale_intrinsics(
+                np.array(pair[4:13], float).reshape(3, 3), scales0),
+                image0.shape, rot0)
+            K1 = rotate_intrinsics(scale_intrinsics(
+                np.array(pair[13:22], float).reshape(3, 3), scales1),
+                image1.shape, rot1)
             T_0to1 = np.array(pair[22:38], float).reshape(4, 4)
             errs = (epipolar_error(mkpts0, mkpts1, T_0to1, K0, K1)
                     if len(mkpts0) else np.zeros(0))

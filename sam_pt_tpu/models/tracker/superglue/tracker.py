@@ -156,14 +156,17 @@ class SuperGluePointTracker(PointTracker):
             matches = np.asarray(pred["matches0"])
 
             sel = matches > -1
-            mk0 = det0["keypoints"][sel]
             mk1 = det1["keypoints"][np.clip(matches[sel], 0, None)]
 
             for mi in range(n_masks):
                 mask = masks_bool[mi]
-                iy0 = np.clip(mk0[:, 1].astype(int), 0, h - 1)
-                ix0 = np.clip(mk0[:, 0].astype(int), 0, w - 1)
-                inside = mask[iy0, ix0]
+                # membership is tested on the TARGET-frame keypoints
+                # (reference tracker.py:145-152 indexes the mask with
+                # mkpts1) — not on their frame-0 partners, which may have
+                # left/entered the mask footprint as the object moves
+                iy1 = np.clip(mk1[:, 1].astype(int), 0, h - 1)
+                ix1 = np.clip(mk1[:, 0].astype(int), 0, w - 1)
+                inside = mask[iy1, ix1]
 
                 for positive, quota, off in (
                     (True, self.positive_points_per_mask, 0),

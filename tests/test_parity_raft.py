@@ -38,6 +38,30 @@ def ref_raft():
     return model
 
 
+class TestConvexUpsampleParity:
+    def test_matches_reference_on_random_inputs(self, ref_raft, rng):
+        """Direct check with UNdamped random mask/flow: the full-model test
+        is insensitive to the convex-weight channel layout when the coarse
+        flow is nearly constant, so exercise the upsampler alone (reference
+        raft_core/raft.py:75-86 mask.view(N, 1, 9, 8, 8, H, W))."""
+        from sam_pt_tpu.models.tracker.raft.model import convex_upsample
+
+        b, h, w = 2, 6, 8
+        flow = rng.standard_normal((b, 2, h, w)).astype(np.float32) * 3
+        mask = rng.standard_normal((b, 64 * 9, h, w)).astype(np.float32)
+
+        with torch.no_grad():
+            ref = ref_raft.upsample_flow(
+                torch.from_numpy(flow), torch.from_numpy(mask)
+            ).numpy().transpose(0, 2, 3, 1)  # [B, 8h, 8w, 2]
+
+        got = convex_upsample(
+            np.transpose(flow, (0, 2, 3, 1)),
+            np.transpose(mask, (0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=1e-4)
+
+
 class TestRaftParity:
     @pytest.mark.parametrize("iters,atol", [(2, 3e-3), (8, 1e-2)])
     def test_flow_matches_reference(self, ref_raft, rng, iters, atol):
