@@ -75,9 +75,14 @@ def _read_result_masks(res_dir: str, seq: str, mask_ids: List[str]) -> np.ndarra
 
 
 def compute_metrics_for_object(args):
-    """Per-object J/F with first-appearance and visibility handling."""
+    """Per-object J/F with first-appearance and visibility handling.
+
+    Returns None for object ids that never appear in the sequence (BDD
+    annotations may have gaps in the id range from dropped/merged tracks)."""
     ii, masks_gt, masks_res = args
     gt_visibility = masks_gt.sum(axis=(1, 2)) > 0
+    if not gt_visibility.any():
+        return None
     appeared = int(np.nonzero(gt_visibility)[0][0])
     if appeared == len(masks_gt) - 1:
         one = np.array([1.0])
@@ -129,6 +134,7 @@ class BDD100KEvaluator:
             else:
                 results = [compute_metrics_for_object(t) for t in tasks]
 
+            results = [r for r in results if r is not None]  # absent ids
             for (ii, n_frames, vis_frames, j, f, j_v, f_v, j_nv, f_nv) in results:
                 row = {"Sequence": f"{seq}_{ii + 1}", "n_frames": n_frames,
                        "visible_frames": vis_frames}

@@ -61,6 +61,15 @@ class DAVISTestDataset(_DatasetBase):
                 print(f"{self.image_dir} not found. Looking at other options.")
                 self.image_dir = path.join(data_root, "JPEGImages", "1080p")
                 self.mask_dir = path.join(data_root, "Annotations", "1080p")
+            if not path.exists(self.image_dir):
+                # deviation from the reference (which asserts here): the
+                # common DAVIS download ships only 480p — fall back to it
+                # with a warning instead of crashing, so size=-1 +
+                # longest_size (the default config) still runs
+                print(f"{self.image_dir} not found either — falling back "
+                      "to the 480p frames.")
+                self.image_dir = path.join(data_root, "JPEGImages", "480p")
+                self.mask_dir = path.join(data_root, "Annotations", "480p")
             assert path.exists(self.image_dir), "Path does not exist: {}".format(self.image_dir)
         else:
             self.image_dir = path.join(data_root, "JPEGImages", "480p")

@@ -37,6 +37,11 @@ def nearest_resize_index(mask: np.ndarray, hw: tuple) -> np.ndarray:
 
 def _resize_image(img: np.ndarray, hw: tuple) -> np.ndarray:
     """uint8 HWC resize, area for downscale / linear for upscale (antialias-like)."""
+    if cv2 is None:
+        raise ImportError(
+            "opencv (cv2) is required for frame resizing "
+            "(shortest_size/longest_size runs) but is not installed"
+        )
     h, w = hw
     interp = (
         cv2.INTER_AREA if h < img.shape[0] else cv2.INTER_LINEAR
@@ -101,9 +106,9 @@ class VideoReader:
         if self.size_dir == self.image_dir:
             shape = img.shape[:2]
         else:
-            shape = np.array(
-                Image.open(path.join(self.size_dir, frame)).convert("RGB")
-            ).shape[:2]
+            # header-only read: .size never decodes the pixel data
+            with Image.open(path.join(self.size_dir, frame)) as size_img:
+                shape = (size_img.size[1], size_img.size[0])  # (h, w)
 
         target_hw = self._target_hw(*img.shape[:2])
         if target_hw != img.shape[:2]:

@@ -36,15 +36,19 @@ class Davis2017Evaluator:
         task: str = "semi-supervised",
         year: str = "2017",
         sequences="all",
-        n_jobs: int = 0,
     ):
+        if task != "semi-supervised":
+            raise NotImplementedError(
+                f"task={task!r}: only the semi-supervised DAVIS protocol is "
+                "implemented (first/last frame excluded, per-first-frame "
+                "object ids)"
+            )
         self.results_path = results_path
         self.davis_path = davis_path
         self.set = set
         self.task = task
         self.year = year
         self.sequences = sequences
-        self.n_jobs = n_jobs
 
     def _sequence_list(self) -> List[str]:
         if self.sequences != "all":
@@ -102,6 +106,11 @@ class Davis2017Evaluator:
                 j_means.append(jm)
                 f_means.append(fm)
 
+        if not j_all:
+            raise ValueError(
+                f"no sequences/objects to score under {self.results_path!r} "
+                f"(sequences={self.sequences!r}) — nothing was evaluated"
+            )
         j_arr = np.array(j_all)
         f_arr = np.array(f_all)
         g = {

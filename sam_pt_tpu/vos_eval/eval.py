@@ -481,6 +481,11 @@ def evaluate(cfg) -> Dict:
                 if "." not in s and s not in non_sequence
                 and path.isdir(path.join(cfg["output"], s))
             )
+        if sequences != "all" and not sequences:
+            print("No evaluated sequences found in the output dir — "
+                  "skipping DAVIS scoring")
+            logger.finish()
+            return results
         df_global, df_per_seq = Davis2017Evaluator(
             results_path=cfg["output"],
             davis_path=path.join(cfg["d17_path"], "trainval"),
