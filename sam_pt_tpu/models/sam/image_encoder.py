@@ -179,8 +179,14 @@ class Attention(nn.Module):
         use_fused = (
             self.use_rel_pos and h * w >= 1024 and self.tp_axis is None
         )
+        # The window kernel treats each batch element as one square window
+        # (win*win == n assert) — window blocks are always square, and a
+        # SQUARE cropped global grid is exactly one such window, but a
+        # rectangular cropped global grid (< 1024 tokens, e.g. very wide
+        # frames under crop_pad_tokens) must fall through to the naive path.
         use_fused_win = (
-            self.use_rel_pos and h * w < 1024 and self.tp_axis is None
+            self.use_rel_pos and h * w < 1024 and h == w
+            and self.tp_axis is None
             and (self.fused_window
                  or (self.padded_head_dim is not None and hdp % 128 == 0))
         )

@@ -7,7 +7,6 @@ image_size 1024, embedding 64, mask_threshold 0.0).
 """
 from __future__ import annotations
 
-from dataclasses import field
 from typing import Any, Optional, Tuple
 
 import jax
@@ -86,11 +85,10 @@ class Sam(nn.Module):
         )
         if self.use_hq:
             from .mask_decoder_hq import MaskDecoderHQ
-            from .image_encoder import VIT_VARIANTS as _VV
 
             vit_dim = (
                 320 if self.encoder_variant == "vit_t"
-                else _VV[self.encoder_variant]["embed_dim"]
+                else VIT_VARIANTS[self.encoder_variant]["embed_dim"]
             )
             self.mask_decoder = MaskDecoderHQ(
                 transformer_dim=self.prompt_embed_dim,
@@ -117,18 +115,23 @@ class Sam(nn.Module):
         -> image embeddings [B, grid, grid, 256]; with use_hq, a dict
         {'emb': ..., 'interm': [B, grid, grid, vit_dim]}."""
         x = self.preprocess(images)
-        valid_hw = None
-        if self.crop_pad_tokens and isinstance(
-            self.image_encoder, ImageEncoderViT
-        ):
-            ps = self.image_encoder.patch_size
-            valid_hw = (-(-images.shape[1] // ps), -(-images.shape[2] // ps))
+        # TinyViT (vit_t) has no valid_hw parameter — only pass the kwarg to
+        # the ViT encoder, where pad-token cropping lives.
+        enc_kwargs = {}
+        if isinstance(self.image_encoder, ImageEncoderViT):
+            valid_hw = None
+            if self.crop_pad_tokens:
+                ps = self.image_encoder.patch_size
+                valid_hw = (
+                    -(-images.shape[1] // ps), -(-images.shape[2] // ps)
+                )
+            enc_kwargs["valid_hw"] = valid_hw
         if self.use_hq:
             emb, interm = self.image_encoder(
-                x, return_interm=True, valid_hw=valid_hw
+                x, return_interm=True, **enc_kwargs
             )
             return {"emb": emb, "interm": interm}
-        return self.image_encoder(x, valid_hw=valid_hw)
+        return self.image_encoder(x, **enc_kwargs)
 
     def decode_masks(
         self,

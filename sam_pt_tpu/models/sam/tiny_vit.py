@@ -15,6 +15,7 @@ public checkpoint carries the stats (utils/checkpoint.py).
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Any, Sequence, Tuple
 
@@ -86,8 +87,12 @@ class PatchMerging(nn.Module):
         return ConvBN(self.out_dim, name="conv3", dtype=self.dtype)(y)
 
 
+@functools.lru_cache(maxsize=None)
 def _rel_bias_index(window: int) -> np.ndarray:
-    """LeViT-style: map each (query, key) offset pair to a unique bias slot."""
+    """LeViT-style: map each (query, key) offset pair to a unique bias slot.
+
+    Cached: the O(L^2) python table is built once per window size per
+    process instead of twice per block per trace."""
     points = list(itertools.product(range(window), range(window)))
     offsets = {}
     idxs = np.zeros((len(points), len(points)), np.int64)

@@ -77,16 +77,21 @@ class PointTracker(abc.ABC):
 
 
 def as_device_video(rgbs) -> "jax.Array":
-    """[B, T, H, W, 3] video -> single-video [T, H, W, 3] uint8 DEVICE array.
+    """[B, T, H, W, 3] video -> single-video [T, H, W, 3] DEVICE array.
 
-    Trackers accept numpy or already-on-device videos; uploading uint8 once
-    (and casting/resizing on device) instead of shuttling float32 frames is a
-    4x saving on the host->device path — which dominates wall-clock on
-    low-bandwidth interconnects.
+    Trackers accept numpy or already-on-device videos; the input DTYPE is
+    preserved (callers pass uint8 — uploading uint8 once and
+    casting/resizing on device instead of shuttling float32 frames is a 4x
+    saving on the host->device path, which dominates wall-clock on
+    low-bandwidth interconnects).
     """
+    import jax
     import jax.numpy as jnp
 
-    if hasattr(rgbs, "device"):  # already a jax array
+    # NOTE: must be an isinstance check — numpy>=2.0 ndarrays also expose a
+    # `.device` attribute, and a hasattr test would return the HOST array
+    # unchanged, silently defeating the upload-once-as-uint8 path.
+    if isinstance(rgbs, jax.Array):
         arr = rgbs
     else:
         arr = jnp.asarray(np.asarray(rgbs))

@@ -37,6 +37,52 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
+# jit cache for the sharded programs: jax.jit caches on function identity,
+# so the jitted shard_map must be built once per (model config, mesh, axis,
+# padded length, outputs) and reused — rebuilding it per chunk would run the
+# shard_map EAGERLY (op-by-op dispatch) or retrace every call.
+_JITTED: Dict[tuple, "jax.stages.Wrapped"] = {}
+
+
+def _forward_time_sharded(
+    model,
+    params,
+    video: jnp.ndarray,
+    query_points: jnp.ndarray,
+    mesh: Mesh,
+    axis: str,
+    out_keys: tuple,
+) -> Dict[str, jnp.ndarray]:
+    """Shared scaffold: ceil-pad frames to the mesh, clone the model with
+    `time_axis=axis`, run one JITTED shard_map, crop the pad frames."""
+    n_dev = mesh.shape[axis]
+    t = video.shape[0]
+    t_pad = -(-t // n_dev) * n_dev
+    if t_pad != t:
+        video = jnp.pad(
+            video, ((0, t_pad - t), (0, 0), (0, 0), (0, 0))
+        )
+    key = (model, mesh, axis, out_keys, t)
+    jitted = _JITTED.get(key)
+    if jitted is None:
+        sharded_model = model.clone(time_axis=axis)
+
+        def fn(p, v_local, qp):
+            out = sharded_model.apply(p, v_local, qp, t_valid=t)
+            return tuple(out[k] for k in out_keys)
+
+        jitted = jax.jit(shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=tuple(P(None, axis) for _ in out_keys),
+            check_vma=False,
+        ))
+        _JITTED[key] = jitted
+    outs = jitted(params, video, query_points)
+    return {k: v[:, :t] for k, v in zip(out_keys, outs)}
+
+
 def tapnet_forward_time_sharded(
     model,
     params,
@@ -53,27 +99,10 @@ def tapnet_forward_time_sharded(
     Returns dict(tracks [N, T, 2], occlusion [N, T]) gathered on the host
     program's global view (frames past T are padded internally and cropped).
     """
-    n_dev = mesh.shape[axis]
-    t = video.shape[0]
-    t_pad = -(-t // n_dev) * n_dev
-    if t_pad != t:
-        video = jnp.pad(
-            video, ((0, t_pad - t), (0, 0), (0, 0), (0, 0))
-        )
-    sharded_model = model.clone(time_axis=axis)
-
-    def fn(v_local, qp):
-        out = sharded_model.apply(params, v_local, qp, t_valid=t)
-        return out["tracks"], out["occlusion"]
-
-    tracks, occlusion = shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=(P(None, axis), P(None, axis)),
-        check_vma=False,
-    )(video, query_points)
-    return {"tracks": tracks[:, :t], "occlusion": occlusion[:, :t]}
+    return _forward_time_sharded(
+        model, params, video, query_points, mesh, axis,
+        ("tracks", "occlusion"),
+    )
 
 
 def tapir_forward_time_sharded(
@@ -92,26 +121,7 @@ def tapir_forward_time_sharded(
     (`_halo_time_pad` in the model), so outputs match the unsharded model.
     video: [T, 256, 256, 3] in [-1, 1]; query_points: [N, 3] (t, y, x).
     """
-    n_dev = mesh.shape[axis]
-    t = video.shape[0]
-    t_pad = -(-t // n_dev) * n_dev
-    if t_pad != t:
-        video = jnp.pad(video, ((0, t_pad - t), (0, 0), (0, 0), (0, 0)))
-    sharded_model = model.clone(time_axis=axis)
-
-    def fn(v_local, qp):
-        out = sharded_model.apply(params, v_local, qp, t_valid=t)
-        return out["tracks"], out["occlusion"], out["expected_dist"]
-
-    tracks, occlusion, expected_dist = shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        check_vma=False,
-    )(video, query_points)
-    return {
-        "tracks": tracks[:, :t],
-        "occlusion": occlusion[:, :t],
-        "expected_dist": expected_dist[:, :t],
-    }
+    return _forward_time_sharded(
+        model, params, video, query_points, mesh, axis,
+        ("tracks", "occlusion", "expected_dist"),
+    )

@@ -269,3 +269,18 @@ class TestCropPadTokens:
         masks, iou = cropped.apply(params, jnp.asarray(emb), pts, lbl,
                                    method=Sam.decode_masks)
         assert masks.shape[0] == 1 and iou.shape == (1, 4)
+
+    def test_rectangular_cropped_global_grid_routes_to_naive(self, rng):
+        """A cropped GLOBAL block with a rectangular grid and lane-padded
+        heads (< 1024 tokens) must not hit the square-window fused kernel
+        (win*win == n assert) — regression for the crop_pad_tokens routing
+        on very wide/tall frames."""
+        attn = Attention(num_heads=2, use_rel_pos=True, input_size=(8, 8),
+                         padded_head_dim=128, cropped=True)
+        # h=3, w=5: rectangular, h*w = 15 < 1024; hdp = 128 lane-aligned
+        x = jnp.asarray(
+            rng.standard_normal((1, 3, 5, 128)).astype(np.float32))
+        params = attn.init(jax.random.PRNGKey(0), x)
+        y = attn.apply(params, x)
+        assert y.shape == (1, 3, 5, 128)
+        assert np.isfinite(np.asarray(y)).all()
