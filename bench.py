@@ -36,7 +36,7 @@ def random_params(init_shape_fn, seed=1, dtype=jnp.bfloat16):
     )
 
 
-def build_pipeline(n_frames, h, w, variant="vit_h"):
+def build_pipeline(variant="vit_h"):
     from sam_pt_tpu.models.sam.predictor import SamPredictor
     from sam_pt_tpu.models.sam.sam_model import Sam
     from sam_pt_tpu.models.sam_pt import SamPt
@@ -85,7 +85,7 @@ def build_pipeline(n_frames, h, w, variant="vit_h"):
 def bench_full_pipeline(n_frames=16, n_masks=3, h=480, w=854):
     from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
 
-    sam_pt = build_pipeline(n_frames, h, w)
+    sam_pt = build_pipeline()
 
     rng = np.random.default_rng(0)
     masks = np.zeros((n_masks, h, w), np.float32)

@@ -37,6 +37,10 @@ def load_frames(
     longest_side_length: Optional[int] = None,
 ) -> np.ndarray:
     """Load a frame directory or a video file -> [T, H, W, 3] uint8 RGB."""
+    if cv2 is None:
+        raise ImportError(
+            "opencv (cv2) is required to load demo frames/videos"
+        )
     frames: List[np.ndarray] = []
     if os.path.isdir(frames_path):
         names = sorted(
@@ -45,6 +49,10 @@ def load_frames(
         )
         for name in names[::frame_stride]:
             img = cv2.imread(os.path.join(frames_path, name))
+            if img is None:
+                raise IOError(
+                    f"unreadable image: {os.path.join(frames_path, name)}"
+                )
             frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
             if max_frames and len(frames) >= max_frames:
                 break
@@ -166,10 +174,6 @@ def cli():
     return main(cfg)
 
 
-if __name__ == "__main__":
-    cli()
-
-
 def interactive_query_points(images: np.ndarray, n_positive: int = 1) -> np.ndarray:
     """cv2 click UI for collecting query points (reference demo.py:255-368).
 
@@ -202,12 +206,32 @@ def interactive_query_points(images: np.ndarray, n_positive: int = 1) -> np.ndar
     cv2.destroyAllWindows()
 
     masks = [m for m in masks if m]
-    n_points = max(len(m) for m in masks)
-    n_positive = min(sum(1 for p in m if p[3] == 1) for m in masks)
-    out = np.zeros((len(masks), n_points, 3), np.float32)
-    for mi, pts in enumerate(masks):
-        pos = [p for p in pts if p[3] == 1]
-        neg = [p for p in pts if p[3] == 0]
-        ordered = (pos + neg + [pos[-1]] * n_points)[:n_points]
+    if not masks:
+        raise RuntimeError("no query points were clicked")
+    pos_lists = [[p for p in m if p[3] == 1] for m in masks]
+    neg_lists = [[p for p in m if p[3] == 0] for m in masks]
+    if any(not p for p in pos_lists):
+        raise RuntimeError(
+            "every mask needs at least one positive (left-button) click"
+        )
+    # One fixed (n_positive, n_negative) shape across masks: keep the common
+    # prefix of each kind. Padding with repeated positives would land them
+    # in NEGATIVE label slots downstream (labels are assigned by position),
+    # actively suppressing the mask they were meant to select.
+    n_positive = min(len(p) for p in pos_lists)
+    n_negative = min(len(n) for n in neg_lists)
+    dropped = sum(
+        len(m) - n_positive - n_negative for m in masks
+    )
+    if dropped:
+        print(f"interactive: dropping {dropped} extra clicks so all masks "
+              f"share ({n_positive} positive, {n_negative} negative) points")
+    out = np.zeros((len(masks), n_positive + n_negative, 3), np.float32)
+    for mi, (pos, neg) in enumerate(zip(pos_lists, neg_lists)):
+        ordered = pos[:n_positive] + neg[:n_negative]
         out[mi] = [(t, x, y) for (t, x, y, _) in ordered]
     return out, n_positive
+
+
+if __name__ == "__main__":
+    cli()

@@ -294,8 +294,26 @@ def instantiate(cfg: Any, /, _memo: Optional[dict] = None, **kwargs: Any) -> Any
 
     cfg = dict(cfg)
     shared_key = cfg.pop("_shared_", None)
-    if shared_key is not None and shared_key in _memo:
-        return _memo[shared_key]
+    if shared_key is not None:
+        # Guard against SILENT config divergence: two nodes sharing a key
+        # must carry the same config, otherwise whichever instantiates
+        # first would win and the other's settings (variant, checkpoint,
+        # ...) would be silently discarded.
+        import json
+
+        fingerprint = json.dumps(cfg, sort_keys=True, default=repr)
+        seen = _memo.get(("__shared_cfg__", shared_key))
+        if seen is not None and seen != fingerprint:
+            raise ValueError(
+                f"_shared_ key {shared_key!r} is used by two nodes with "
+                f"DIFFERENT configs — the second would silently receive "
+                f"the first's instance. Align the configs (e.g. point "
+                f"both at one interpolated subtree).\n"
+                f"first:  {seen}\nsecond: {fingerprint}"
+            )
+        if shared_key in _memo:
+            return _memo[shared_key]
+        _memo[("__shared_cfg__", shared_key)] = fingerprint
     target = cfg.pop("_target_")
     partial = cfg.pop("_partial_", False)
     args = [instantiate(a, _memo=_memo) for a in cfg.pop("_args_", [])]

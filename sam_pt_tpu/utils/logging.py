@@ -19,14 +19,16 @@ from typing import Any, Dict, Optional
 
 class RunLogger:
     def __init__(self, output_dir: str = "outputs/logs",
-                 exp_id: str = "run", config: Optional[Dict] = None,
+                 exp_id: Optional[str] = None, config: Optional[Dict] = None,
                  logging_cfg: Optional[Dict] = None):
         """`logging_cfg` is the composed `logging:` config group
         (configs/logging/*.yaml — reference surface configs/logging/base.yaml):
-        {exp_id, wandb: {entity, project, ...}}. Explicit `exp_id` wins; the
-        wandb project falls back to the WANDB_PROJECT env var."""
+        {exp_id, wandb: {entity, project, ...}}. Explicit `exp_id` wins,
+        falling back to logging_cfg['exp_id'], then 'run'; the wandb project
+        falls back to the WANDB_PROJECT env var."""
         logging_cfg = logging_cfg or {}
         wandb_cfg = logging_cfg.get("wandb") or {}
+        exp_id = exp_id or logging_cfg.get("exp_id") or "run"
         self.output_dir = output_dir
         self.exp_id = exp_id
         os.makedirs(output_dir, exist_ok=True)

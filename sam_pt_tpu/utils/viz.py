@@ -76,6 +76,8 @@ def render_predictions(
                 frame, ml[f] > 0, MASK_COLORS[mi % len(MASK_COLORS)], alpha
             )
         if trajectories is not None:
+            if visibilities is None:  # default: all points visible
+                visibilities = np.ones(trajectories.shape[:-1], np.float32)
             for mi in range(trajectories.shape[1]):
                 frame = draw_points(
                     frame, trajectories[f, mi], visibilities[f, mi]

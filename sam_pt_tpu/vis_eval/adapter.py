@@ -8,6 +8,7 @@ YTVIS evaluator. Labels are a dummy 0 (SAM does not classify; :123).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -25,6 +26,7 @@ class SamBasedVisToVosAdapter:
         masks_batch_size: int = 100,
         visualize_results: bool = False,
         max_videos_to_visualize: int = 0,
+        visualization_dir: str = "outputs/vis_visualizations",
     ):
         self.model = model
         self.sam_generator = sam_generator
@@ -32,6 +34,8 @@ class SamBasedVisToVosAdapter:
         self.masks_batch_size = masks_batch_size
         self.visualize_results = visualize_results
         self.max_videos_to_visualize = max_videos_to_visualize
+        self.visualization_dir = visualization_dir
+        self._n_visualized = 0
 
     def forward(self, batched_inputs: List[Dict]) -> Dict:
         assert len(batched_inputs) == 1, "Only single video inputs are supported"
@@ -84,6 +88,22 @@ class SamBasedVisToVosAdapter:
         logits = np.stack(logits_list, axis=0)  # [M, T, h, w]
         trajectories = np.concatenate(traj_list, axis=1)
         visibilities = np.concatenate(vis_list, axis=1)
+
+        if (
+            self.visualize_results
+            and self._n_visualized < self.max_videos_to_visualize
+        ):
+            from ..utils.viz import render_predictions, save_video
+
+            frames = render_predictions(
+                images, [np.asarray(m) for m in logits],
+                trajectories, visibilities,
+            )
+            save_video(
+                frames,
+                os.path.join(self.visualization_dir, f"video_{vid_id}.mp4"),
+            )
+            self._n_visualized += 1
 
         return {
             "image_size": target_hw,

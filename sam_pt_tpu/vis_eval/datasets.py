@@ -38,8 +38,14 @@ def register_dataset(name: str, json_file: str, image_root: str,
 
 def resolve_dataset(name: str, data_root: str) -> Tuple[str, str, bool]:
     if name in _CUSTOM:
+        # same data_root semantics as the predefined table: relative paths
+        # resolve under data_root, absolute paths pass through
         j, r, ca = _CUSTOM[name]
-        return j, r, ca
+        return (
+            j if path.isabs(j) else path.join(data_root, j),
+            r if path.isabs(r) else path.join(data_root, r),
+            ca,
+        )
     if name not in _PREDEFINED:
         raise KeyError(f"Unknown VIS dataset: {name}")
     j, r, ca = _PREDEFINED[name]

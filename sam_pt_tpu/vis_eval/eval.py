@@ -63,15 +63,18 @@ def evaluate(cfg) -> Dict:
 
     adapter = instantiate(cfg["model"])
 
+    # Cap BEFORE sharding so max_videos means the same global count on any
+    # host topology (per-host capping would score n_hosts x max_videos).
     max_videos = cfg.get("max_videos")
-    my_videos = shard_videos_across_hosts(dataset.videos)
+    videos = dataset.videos
+    if max_videos is not None:
+        videos = videos[:max_videos]
+    my_videos = shard_videos_across_hosts(videos)
 
     all_records: List[Dict] = []
     t0 = time.perf_counter()
     total_frames = 0
-    for i, video_meta in enumerate(my_videos):
-        if max_videos is not None and i >= max_videos:
-            break
+    for video_meta in my_videos:
         video = dataset.load_video(video_meta)
         out = adapter([video])
         all_records.extend(predictions_to_records(out, video["video_id"]))
@@ -84,16 +87,22 @@ def evaluate(cfg) -> Dict:
         "fps": total_frames / elapsed if elapsed > 0 else 0.0,
         "n_records": len(all_records),
     }
-    out_dir = cfg.get("output", "outputs/vis")
-    os.makedirs(out_dir, exist_ok=True)
-    with open(path.join(out_dir, "results.json"), "w") as f:
-        json.dump(all_records, f)
+    # process_allgather leaves the FULL record list on every host; only
+    # host 0 writes and scores (concurrent writes to the shared results
+    # path would interleave, and scoring N times is redundant).
+    import jax
 
-    if cfg.get("score", True):
-        ev = YTVOSEvaluator(dataset.gt, max_dets=cfg.get("max_dets", 100))
-        metrics = ev.evaluate(all_records, class_agnostic=class_agnostic)
-        results.update(metrics)
-        print({k: round(v, 4) for k, v in metrics.items()})
+    if jax.process_index() == 0:
+        out_dir = cfg.get("output", "outputs/vis")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(path.join(out_dir, "results.json"), "w") as f:
+            json.dump(all_records, f)
+
+        if cfg.get("score", True):
+            ev = YTVOSEvaluator(dataset.gt, max_dets=cfg.get("max_dets", 100))
+            metrics = ev.evaluate(all_records, class_agnostic=class_agnostic)
+            results.update(metrics)
+            print({k: round(v, 4) for k, v in metrics.items()})
     return results
 
 

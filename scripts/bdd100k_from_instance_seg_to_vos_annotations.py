@@ -27,6 +27,15 @@ def convert_sequence(seq_dir: str, out_dir: str) -> None:
             if ann_id == 0:
                 continue
             if ann_id not in id_map:
+                if len(id_map) >= 255:
+                    # 8-bit palette index masks hold ids 1..255; overflowing
+                    # would crash (numpy>=2) or silently wrap ids into the
+                    # background (numpy 1.x)
+                    raise ValueError(
+                        f"{seq_dir}: more than 255 distinct object ids in "
+                        "one sequence — cannot be represented in an 8-bit "
+                        "palette VOS index mask"
+                    )
                 id_map[ann_id] = len(id_map) + 1
             out[ann_ids == ann_id] = id_map[ann_id]
         Image.fromarray(out, mode="P").save(os.path.join(out_dir, name))

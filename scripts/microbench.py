@@ -50,7 +50,7 @@ def main():
 
     h, w = args.hw
     t, m = args.frames, args.masks
-    sam_pt = bench.build_pipeline(t, h, w)
+    sam_pt = bench.build_pipeline()
     from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
 
     rng = np.random.default_rng(0)

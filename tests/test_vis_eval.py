@@ -291,6 +291,9 @@ class TestEndToEndVIS:
                 "_target_": "sam_pt_tpu.vis_eval.adapter.SamBasedVisToVosAdapter",
                 "max_num_masks": 5,
                 "masks_batch_size": 5,
+                "visualize_results": True,
+                "max_videos_to_visualize": 1,
+                "visualization_dir": str(tmp_path / "viz"),
                 "model": {
                     "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
                     "height": h, "width": w,
@@ -310,3 +313,6 @@ class TestEndToEndVIS:
         results = evaluate(cfg)
         assert "AP" in results
         assert os.path.exists(tmp_path / "out" / "results.json")
+        # visualize_results wrote one rendered video for the first video
+        viz = os.listdir(tmp_path / "viz")
+        assert len(viz) == 1 and viz[0].startswith("video_"), viz
