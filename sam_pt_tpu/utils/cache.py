@@ -30,6 +30,8 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache everything that took real compile time (default threshold is 1 s)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache everything that took real compile time (default threshold is
+    # 1 s) — unless the user pinned their own threshold via env
+    if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return cache_dir

@@ -53,6 +53,45 @@ def conv1d_w(x):
     return _t(x)[:, :, 0].T
 
 
+def _make_put(p: Dict[str, Any]):
+    """Nested-dict writer: put('a/b/c', v) sets p['a']['b']['c'] = asarray(v).
+
+    One shared definition for every converter (they all build flax param
+    trees the same way)."""
+
+    def put(path: str, value):
+        node = p
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = np.asarray(value)
+
+    return put
+
+
+def _convert_basic_encoder(sd: Dict[str, Any], put, src: str = "fnet",
+                           dst: str = "fnet") -> None:
+    """RAFT-style BasicEncoder (conv1, layer{1..4}x2 with optional
+    downsample, conv2, conv3) — the shared feature backbone of the PIPS,
+    PIPS++, and CoTracker reference checkpoints."""
+
+    def conv(s, d):
+        put(f"{d}/kernel", conv_w(sd[f"{s}.weight"]))
+        put(f"{d}/bias", _t(sd[f"{s}.bias"]))
+
+    conv(f"{src}.conv1", f"{dst}/conv1")
+    for li in (1, 2, 3, 4):
+        for bi in range(2):
+            s = f"{src}.layer{li}.{bi}"
+            d = f"{dst}/layer{li}_{bi}"
+            conv(f"{s}.conv1", f"{d}/conv1")
+            conv(f"{s}.conv2", f"{d}/conv2")
+            if f"{s}.downsample.0.weight" in sd:
+                conv(f"{s}.downsample.0", f"{d}/downsample")
+    conv(f"{src}.conv2", f"{dst}/conv2")
+    conv(f"{src}.conv3", f"{dst}/conv3")
+
+
 # ---------------------------------------------------------------------------
 # SAM conversion
 # ---------------------------------------------------------------------------
@@ -66,12 +105,7 @@ def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """
     p: Dict[str, Any] = {}
 
-    def put(path: str, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
     if any(k.startswith("image_encoder.layers.") for k in sd):
         _convert_tinyvit_encoder(sd, put)
@@ -208,9 +242,26 @@ def _convert_vit_encoder(sd, put):
 
     global_idx = ()
     if grid >= 32:
-        for v in VIT_VARIANTS.values():
-            if v["depth"] == depth:
-                global_idx = v["global_attn_indexes"]
+        matches = {
+            name: tuple(v["global_attn_indexes"])
+            for name, v in VIT_VARIANTS.items()
+            if v["depth"] == depth
+        }
+        if not matches:
+            raise ValueError(
+                f"SAM checkpoint encoder depth {depth} matches no "
+                f"registered ViT variant (known depths: "
+                f"{sorted({v['depth'] for v in VIT_VARIANTS.values()})}); "
+                "cannot locate global-attention blocks for head padding"
+            )
+        if len(set(matches.values())) > 1:
+            raise ValueError(
+                f"SAM checkpoint encoder depth {depth} is ambiguous across "
+                f"registered variants {sorted(matches)} with different "
+                "global-attention layouts — register the intended variant "
+                "uniquely"
+            )
+        global_idx = next(iter(matches.values()))
     for i in range(depth):
         src = f"image_encoder.blocks.{i}"
         dst = f"image_encoder/blocks_{i}"
@@ -434,28 +485,9 @@ def convert_pips_state_dict(sd: Dict[str, Any], mixer_depth: int = 12) -> Dict[s
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
-    def conv(src, dst):
-        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
-        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
-
-    conv("fnet.conv1", "fnet/conv1")
-    for li, planes in ((1, 64), (2, 96), (3, 128), (4, 128)):
-        for bi in range(2):
-            src = f"fnet.layer{li}.{bi}"
-            dst = f"fnet/layer{li}_{bi}"
-            conv(f"{src}.conv1", f"{dst}/conv1")
-            conv(f"{src}.conv2", f"{dst}/conv2")
-            if f"{src}.downsample.0.weight" in sd:
-                conv(f"{src}.downsample.0", f"{dst}/downsample")
-    conv("fnet.conv2", "fnet/conv2")
-    conv("fnet.conv3", "fnet/conv3")
+    _convert_basic_encoder(sd, put)
 
     # delta_block.to_delta: [0] input proj, [1..depth] mixer pairs,
     # [depth+1] out LN, [depth+2] Reduce (no params), [depth+3] out proj
@@ -595,28 +627,9 @@ def convert_cotracker_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     sd = {k.removeprefix("model."): v for k, v in sd.items()}
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
-    def conv(src, dst):
-        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
-        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
-
-    conv("fnet.conv1", "fnet/conv1")
-    for li in (1, 2, 3, 4):
-        for bi in range(2):
-            src = f"fnet.layer{li}.{bi}"
-            dst = f"fnet/layer{li}_{bi}"
-            conv(f"{src}.conv1", f"{dst}/conv1")
-            conv(f"{src}.conv2", f"{dst}/conv2")
-            if f"{src}.downsample.0.weight" in sd:
-                conv(f"{src}.downsample.0", f"{dst}/downsample")
-    conv("fnet.conv2", "fnet/conv2")
-    conv("fnet.conv3", "fnet/conv3")
+    _convert_basic_encoder(sd, put)
 
     uf = "updateformer"
     put(f"{uf}/input_transform/kernel", linear_w(sd[f"{uf}.input_transform.weight"]))
@@ -671,12 +684,7 @@ def convert_raft_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
     def conv(src, dst):
         put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
@@ -742,28 +750,9 @@ def convert_pips2_state_dict(sd: Dict[str, Any], n_block: int = 8) -> Dict[str, 
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
-    def conv2d(src, dst):
-        put(f"{dst}/kernel", conv_w(sd[f"{src}.weight"]))
-        put(f"{dst}/bias", _t(sd[f"{src}.bias"]))
-
-    conv2d("fnet.conv1", "fnet/conv1")
-    for li in (1, 2, 3, 4):
-        for bi in range(2):
-            src = f"fnet.layer{li}.{bi}"
-            dst = f"fnet/layer{li}_{bi}"
-            conv2d(f"{src}.conv1", f"{dst}/conv1")
-            conv2d(f"{src}.conv2", f"{dst}/conv2")
-            if f"{src}.downsample.0.weight" in sd:
-                conv2d(f"{src}.downsample.0", f"{dst}/downsample")
-    conv2d("fnet.conv2", "fnet/conv2")
-    conv2d("fnet.conv3", "fnet/conv3")
+    _convert_basic_encoder(sd, put)
 
     db = "delta_block"
     put(f"{db}/first_block_conv/kernel",
@@ -812,12 +801,7 @@ def convert_tapir_haiku_params(hk_params: Dict[str, Any]) -> Dict[str, Any]:
     """
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
     for key, leaf in hk_params.items():
         parts = key.replace("~/", "").replace("tapir/", "").split("/")
@@ -900,12 +884,7 @@ def convert_superglue_state_dict(sd: Dict[str, Any],
     """
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
     def bn(src, dst):
         put(f"{dst}/scale", _t(sd[f"{src}.weight"]))
@@ -1003,12 +982,7 @@ def convert_tapnet_haiku_params(raw: Dict[str, Any]) -> Dict[str, Any]:
     hk_state = raw.get("state", {})
     p: Dict[str, Any] = {}
 
-    def put(path, value):
-        node = p
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = np.asarray(value)
+    put = _make_put(p)
 
     import re as _re
 

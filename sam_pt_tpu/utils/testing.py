@@ -18,6 +18,10 @@ from .util import jitted_init
 
 TINY_VIT = dict(embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,),
                 window_size=2)
+# Registered at import so tests can name the variant directly. This cannot
+# leak into real checkpoint handling: checkpoint.py's depth-based variant
+# lookup only runs for real-scale grids (>= 32) where depth is 12/24/32,
+# never this depth-2 config, and it now errors on depth ambiguity.
 _ie.VIT_VARIANTS.setdefault("vit_tiny_test", TINY_VIT)
 
 
