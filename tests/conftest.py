@@ -71,6 +71,20 @@ _SLOW_PATTERNS = (
     "test_superglue.py::TestSuperPoint",
     "test_tapnet.py::TestTSM::test_backbone_stride8",
     "test_sam.py::TestMaskDecoder",
+    # heavyweight parity/compile tests (> ~20 s on a 1-CPU box); each area
+    # keeps a faster representative in the fast tier
+    "test_parallel.py::TestShardedOrchestrator",
+    "test_sam_pt.py::TestDeviceFlow",
+    "test_tensor_parallel.py::TestTensorParallelEncode::test_sam_level_tp",
+    "test_tensor_parallel.py::TestTensorParallelEncode::"
+    "test_tp_predictor_matches_unsharded",
+    "test_sam.py::TestCropPadTokens::test_padded_input_crops_and_zero_fills",
+    "test_sam.py::TestCropPadTokens::test_square_input_is_identity",
+    "test_parallel.py::TestTemporalSharding::"
+    "test_tapnet_tracker_time_parallel_matches",
+    "test_parallel.py::TestTemporalSharding::"
+    "test_tapnet_time_sharded_matches_unsharded[16]",
+    "test_sam.py::TestSamEndToEnd",
 )
 
 
