@@ -8,15 +8,19 @@ Shi-Tomasi query sampler (sam_pt/utils/query_points.py:140).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-# sRGB -> XYZ (D65) matrix, rows = X, Y, Z.
-_RGB2XYZ = jnp.array(
+# sRGB -> XYZ (D65) matrix, rows = X, Y, Z. Kept as NUMPY so importing this
+# module (it is re-exported by sam_pt_tpu.ops) never initializes a jax
+# backend — device-side constant creation at import time made every CLI
+# import hang/fail when the accelerator tunnel was unavailable.
+_RGB2XYZ = np.array(
     [
         [0.412456439089692, 0.357576077643909, 0.180437483266399],
         [0.212672851405623, 0.715152155287818, 0.072174993306560],
         [0.019333895582329, 0.119192025881303, 0.950304078536368],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # D65 reference white.
