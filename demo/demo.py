@@ -171,6 +171,9 @@ def cli():
     overrides = [a for a in sys.argv[1:] if "=" in a]
     cfg = compose(CONFIG_DIR, "demo", overrides)
     cfg = resolve_interpolations(cfg)
+    from sam_pt_tpu.utils.util import apply_platform_override
+
+    apply_platform_override(cfg.get("platform"))
     return main(cfg)
 
 

@@ -75,3 +75,17 @@ def jitted_init(module, key, *args, **kwargs):
     import jax
 
     return jax.jit(lambda k: module.init(k, *args, **kwargs))(key)
+
+
+def apply_platform_override(platform) -> None:
+    """Force a jax platform (the `platform:` root-config key, e.g. 'cpu').
+
+    Environments can pin a default platform (sitecustomize setting
+    JAX_PLATFORMS before our code runs), so env vars alone are not enough —
+    the jax.config flip must happen in-process, BEFORE the first device op.
+    No-op when `platform` is falsy."""
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", str(platform))

@@ -110,6 +110,9 @@ def main():
     overrides = [a for a in sys.argv[1:] if "=" in a]
     cfg = compose(CONFIG_DIR, "vis_eval_root", overrides)
     cfg = resolve_interpolations(cfg)
+    from ..utils.util import apply_platform_override
+
+    apply_platform_override(cfg.get("platform"))
     return evaluate(cfg)
 
 
