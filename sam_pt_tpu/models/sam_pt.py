@@ -271,11 +271,24 @@ class SamPt:
         if (h, w) != target_hw:
             from ..ops.resize import resize_bilinear
 
+            logits_arr = jnp.asarray(logits)
+            # Whole-plane -inf sentinels (gated / fully-invisible pairs)
+            # would become all-NaN through the matmul-based resize
+            # (0 * inf = NaN), poisoning the downstream multi-object argmax
+            # fusion. Clamp to a finite f16-safe floor first: blanked
+            # planes are uniform, so they resize to a uniform floor that
+            # still loses to the zero background channel.
+            logits_arr = jnp.maximum(
+                logits_arr, jnp.asarray(-30000.0, logits_arr.dtype)
+            )
             logits_dev = resize_bilinear(
-                jnp.asarray(logits)[..., None], target_hw
+                logits_arr[..., None], target_hw
             )[..., 0]
-        else:
+        elif isinstance(logits, jnp.ndarray) or keep_device:
             logits_dev = jnp.asarray(logits)
+        else:
+            # host numpy at target resolution already: no device round-trip
+            logits_dev = logits
         trajectories = trajectories * resize_factor
 
         if keep_device:
@@ -382,6 +395,10 @@ class SamPt:
             _, logits, scores_per_frame = self._apply_sam_device(
                 (h, w), trajectories, visibilities, emb
             )
+            # plain mean INCLUDING the -inf no-visible-prompt sentinels —
+            # reference parity (sam_pt.py:352 discards the finite-only
+            # pred_scores the same way); the VIS boundary maps non-finite
+            # scores to 0.0 (vis_eval/eval.py predictions_to_records)
             scores = scores_per_frame.mean(axis=0)
             return trajectories, visibilities, logits, scores, scores_per_frame
         trajectories, visibilities = self._track_points(
@@ -898,13 +915,39 @@ class SamPt:
         original and the time-flipped video, stitch at each mask's query frame
         (reference :355-408)."""
         t = images.shape[0]
+        qts = query_points[:, 0, 0].astype(np.int64)
 
-        r2l = self._forward_w_reinit_inner(images, query_points)
+        # One upload + one encode pass serve BOTH directions: the flipped
+        # direction reuses the device copy and per-frame embeddings reversed
+        # on device (no second host transfer, no re-encode).
+        images_dev = getattr(self, "_images_dev", None)
+        if images_dev is None:
+            images_dev = jnp.asarray(images)
+        embeddings = self._encode_all_frames(images_dev)
+
+        r2l = self._forward_w_reinit_inner(
+            images, query_points, images_dev=images_dev, embeddings=embeddings
+        )
+
+        if (qts == 0).all():
+            # every query starts at frame 0 (the standard VOS case): the
+            # backward stitch prefix is empty for all masks, so the flipped
+            # pass would be computed and fully discarded — skip it.
+            traj_r, vis_r, logits_r, _, spf_r = r2l
+            assert not np.isnan(traj_r).any()
+            with np.errstate(invalid="ignore"):
+                scores = np.nanmean(spf_r, axis=0)
+            return traj_r, vis_r, logits_r, scores, spf_r
 
         images_flipped = images[::-1].copy()
         qp_flipped = query_points.copy()
         qp_flipped[:, :, 0] = t - query_points[:, :, 0] - 1
-        l2r = self._forward_w_reinit_inner(images_flipped, qp_flipped)
+        rev = slice(None, None, -1)
+        l2r = self._forward_w_reinit_inner(
+            images_flipped, qp_flipped,
+            images_dev=images_dev[::-1],
+            embeddings=_emb_index(embeddings, rev),
+        )
         traj_l, vis_l, logits_l, _, spf_l = l2r
         traj_l = traj_l[::-1]
         vis_l = vis_l[::-1]
@@ -912,7 +955,6 @@ class SamPt:
         spf_l = spf_l[::-1]
         traj_r, vis_r, logits_r, _, spf_r = r2l
 
-        qts = query_points[:, 0, 0].astype(np.int64)
         tgrid = np.arange(t)
         trajectories = traj_r.copy()
         visibilities = vis_r.copy()
@@ -929,7 +971,8 @@ class SamPt:
             scores = np.nanmean(spf, axis=0)
         return trajectories, visibilities, logits, scores, spf
 
-    def _forward_w_reinit_inner(self, images, query_points):
+    def _forward_w_reinit_inner(self, images, query_points,
+                                images_dev=None, embeddings=None):
         """One temporal direction of horizon-chunked tracking with point
         re-initialization from SAM's predicted masks (reference :410-543).
 
@@ -949,10 +992,13 @@ class SamPt:
         scores_per_frame = np.full((t, m), np.nan, np.float32)
         logits = np.full((m, t, h, w), np.nan, np.float32)
 
-        # one device copy per direction (this path is also called with the
-        # time-flipped video); windows below slice it on device
-        images_dev = jnp.asarray(images)
-        embeddings = self._encode_all_frames(images_dev)
+        # device copy + embeddings are normally shared across both temporal
+        # directions by the caller (reversed on device for the flipped one);
+        # windows below slice them on device
+        if images_dev is None:
+            images_dev = jnp.asarray(images)
+        if embeddings is None:
+            embeddings = self._encode_all_frames(images_dev)
 
         current_qp = query_points.copy()
         start0 = int(query_points[:, 0, 0].min())

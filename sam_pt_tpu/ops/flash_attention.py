@@ -273,10 +273,14 @@ def fused_qkv_relpos_attention(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
-    tq = min(q_tile, n)
-    while n % tq or tq % kw:
-        tq //= 2
-    rows = tq // kw
+    # q-tile = (rows of the key grid) x kw: take the largest row count g
+    # dividing kh with kw*g <= q_tile, falling back to one row when kw
+    # alone exceeds q_tile. (The previous power-of-two halving reached 0
+    # and divided by it when kw divides no halved tile — e.g. rectangular
+    # cropped global grids with kw=36.)
+    g_max = max(1, q_tile // kw)
+    rows = max(d for d in range(1, kh + 1) if kh % d == 0 and d <= g_max)
+    tq = kw * rows
 
     # Static augmentation one-hot: key token y*kw + x contributes
     # bias_h[., y] + bias_w[., x] to its logit via the augmented matmul.
@@ -402,6 +406,7 @@ def fused_qkv_window_attention(
     Returns [BW, N, H*Dp].
     """
     bw, n, chans = qkv.shape
+    assert chans % (3 * heads) == 0, (chans, heads)
     dp = chans // (3 * heads)
     win = rel_h.shape[0]
     assert win * win == n and rel_w.shape[0] == win, (rel_h.shape, n)

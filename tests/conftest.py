@@ -85,6 +85,8 @@ _SLOW_PATTERNS = (
     "test_parallel.py::TestTemporalSharding::"
     "test_tapnet_time_sharded_matches_unsharded[16]",
     "test_sam.py::TestSamEndToEnd",
+    "test_sam_pt.py::TestReinitMidVideoQuery",
+    "test_sam_pt.py::TestBlankedLogitsResize",
 )
 
 

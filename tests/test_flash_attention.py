@@ -145,6 +145,38 @@ class TestQkvRelposKernel:
                     np.asarray(got[bi, :, hi]), ref, atol=3e-4
                 )
 
+    def test_rectangular_grid_awkward_kw(self, rng):
+        """kw that divides no power-of-two q-tile (e.g. 36, from cropped
+        rectangular global grids) must still tile — the old halving search
+        reached tq=0 and raised ZeroDivisionError."""
+        from sam_pt_tpu.ops.flash_attention import fused_qkv_relpos_attention
+
+        b, kh, kw, heads, dp = 1, 16, 36, 1, 128
+        n = kh * kw
+        qkv = rng.standard_normal((b, n, 3, heads, dp)).astype(np.float32)
+        qkv_flat = qkv.reshape(b, n, 3 * heads * dp)
+        rh = rng.standard_normal((kh, kh, dp)).astype(np.float32) * 0.3
+        rw = rng.standard_normal((kw, kw, dp)).astype(np.float32) * 0.3
+        scale = 0.13
+
+        got = fused_qkv_relpos_attention(
+            jnp.asarray(qkv_flat), jnp.asarray(rh), jnp.asarray(rw),
+            scale=scale, kh=kh, kw=kw, heads=heads,
+        ).reshape(b, n, heads, dp)
+
+        ys = np.arange(n) // kw
+        xs = np.arange(n) % kw
+        q = qkv[0, :, 0, 0]
+        k = qkv[0, :, 1, 0]
+        v = qkv[0, :, 2, 0]
+        logits = (q * scale) @ k.T
+        logits = logits + np.einsum("nc,nkc->nk", q, rh[ys])[:, ys]
+        logits = logits + np.einsum("nc,nkc->nk", q, rw[xs])[:, xs]
+        logits -= logits.max(-1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(got[0, :, 0]), p @ v, atol=3e-4)
+
     def test_encoder_padded_global_block(self, rng):
         """Attention with padded_head_dim: padded-weight fused path must match
         the unpadded XLA math."""

@@ -126,6 +126,31 @@ class TestReinit:
         assert out["visibilities"].shape[0] == t
 
 
+class TestReinitMidVideoQuery:
+    def test_bidirectional_stitch_with_nonzero_timestep(self):
+        """Queries at a mid-video frame exercise the BACKWARD (flipped)
+        direction and the stitch — including the device-reversed shared
+        embeddings path (the backward pass is skipped entirely when every
+        query starts at frame 0)."""
+        model = build_tiny_sam_pt(
+            use_point_reinit=True,
+            reinit_point_tracker_horizon=4,
+            reinit_horizon=3,
+        )
+        t, h, w = 7, 48, 64
+        video = make_video(t=t, with_masks=True)
+        video["query_point_timestep"] = np.full((2,), 3.0, np.float32)
+        out = model.forward(video)
+        assert len(out["logits"]) == 2
+        assert out["logits"][0].shape == (t, h, w)
+        assert np.isfinite(out["trajectories"]).all()
+        # frames strictly before the query frame come from the backward
+        # pass; they must be populated (not NaN/zero-visibility everywhere)
+        vis = np.asarray(out["visibilities"])
+        assert vis[:3].shape == (3, 2, vis.shape[2])
+        assert np.isfinite(np.stack(out["scores_per_frame"])).any()
+
+
 class TestReinitFailure:
     def test_empty_masks_mark_reinit_failed(self):
         """When every candidate reinit mask in a horizon window is empty,
@@ -283,3 +308,28 @@ class TestDeviceFlow:
         np.testing.assert_allclose(
             np.asarray(dev["trajectories"]), np.asarray(host["trajectories"]),
             rtol=1e-4, atol=1e-4)
+
+
+class TestBlankedLogitsResize:
+    def test_gated_planes_stay_finite_through_target_hw_resize(self, rng):
+        """Pairs gated by sam_iou_threshold get whole-plane sentinel logits;
+        resizing to target_hw must not turn them into NaN (0 * -inf in the
+        matmul resize), which used to poison the multi-object fusion."""
+        from sam_pt_tpu.utils.testing import build_tiny_sam_pt
+
+        model = build_tiny_sam_pt(sam_iou_threshold=2.0)  # gate EVERYTHING
+        t, h, w = 3, 48, 64
+        masks = np.zeros((2, h, w), np.float32)
+        masks[0, 10:30, 10:30] = 1
+        masks[1, 20:40, 35:60] = 1
+        out = model.forward({
+            "image": rng.integers(0, 255, size=(t, h, w, 3)).astype(np.uint8),
+            "target_hw": (h * 2, w * 2),  # force the resize path
+            "query_masks": masks,
+            "query_point_timestep": np.zeros((2,), np.float32),
+        })
+        logits = np.stack(out["logits"])
+        assert logits.shape == (2, t, h * 2, w * 2)
+        assert np.isfinite(logits).all()
+        # gated planes must still lose to the zero background channel
+        assert (logits < 0).all()
