@@ -475,7 +475,6 @@ class SamPt:
         coordinates, not slot index)."""
         h, w = hw
         t, m = trajectories.shape[0], trajectories.shape[1]
-        predictor = self.sam_predictor
 
         points, labels = _build_prompts_jit(
             trajectories,
@@ -491,11 +490,34 @@ class SamPt:
         emb_flat = np.repeat(np.arange(t), m)
         has_visible = (lbl_flat != -1).any(axis=1)  # [B] device
 
+        logits_dev, iou_all = self._decode_all_pairs(
+            embeddings, emb_flat, pts_flat, lbl_flat, (h, w)
+        )
+        passed = has_visible & (iou_all >= self.sam_iou_threshold)
+        logits = self._gate_logits(logits_dev, passed, t, m, h, w)
+        pred_scores, scores_per_frame = self._scores_from_iou(
+            jnp, has_visible, iou_all, t, m
+        )
+        return pred_scores, logits, scores_per_frame
+
+    def _decode_all_pairs(self, embeddings, emb_flat, pts_flat, lbl_flat, hw):
+        """Chunked padded batched decode chain over all (frame, mask) pairs —
+        the ONE decode loop shared by the host and device `_apply_sam`
+        flavors. Prompt arrays may be host numpy or device arrays; returns
+        DEVICE (upscaled logits [B, h, w] float16, iou [B] float32). The
+        last chunk is padded to the full chunk size so every call shares one
+        compiled program; nothing here blocks — downloads are the caller's
+        choice."""
+        h, w = hw
+        b = pts_flat.shape[0]
+        pts_all = jnp.asarray(pts_flat)
+        lbl_all = jnp.asarray(lbl_flat)
         chunk = min(self.sam_decode_chunk, b)
         if self._data_sharding is not None:
             ndev = int(self.mesh.devices.size)
             chunk = min(self.sam_decode_chunk,
                         ((b + ndev - 1) // ndev) * ndev)
+        chain = self._get_chain_fn((h, w), upscale=True)
         dev_chunks, iou_chunks = [], []
         for i in range(0, b, chunk):
             sl = slice(i, min(i + chunk, b))
@@ -503,35 +525,43 @@ class SamPt:
             pad = chunk - nb
             idx = np.concatenate([np.arange(sl.start, sl.stop),
                                   np.full(pad, sl.start)])
-            emb = self._shard(_emb_index(embeddings, jnp.asarray(emb_flat[idx])))
             idx_dev = jnp.asarray(idx)
-            pts = self._shard(pts_flat[idx_dev])
-            lbl = self._shard(lbl_flat[idx_dev])
-            chain = self._get_chain_fn((h, w), upscale=True)
-            up, iou = chain(predictor.params, emb, pts, lbl)
+            emb = self._shard(_emb_index(embeddings, jnp.asarray(emb_flat[idx])))
+            pts = self._shard(pts_all[idx_dev])
+            lbl = self._shard(lbl_all[idx_dev])
+            up, iou = chain(self.sam_predictor.params, emb, pts, lbl)
             dev_chunks.append(up[:nb])
             iou_chunks.append(iou[:nb])
-        iou_all = (
-            jnp.concatenate(iou_chunks) if len(iou_chunks) > 1
-            else iou_chunks[0]
-        )
         logits = (
             jnp.concatenate(dev_chunks, axis=0) if len(dev_chunks) > 1
             else dev_chunks[0]
         )
-
-        passed = has_visible & (iou_all >= self.sam_iou_threshold)
-        logits = jnp.where(
-            passed[:, None, None], logits, jnp.float16(NEG_INF)
+        iou_all = (
+            jnp.concatenate(iou_chunks) if len(iou_chunks) > 1
+            else iou_chunks[0]
         )
-        logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)
+        return logits, iou_all
+
+    @staticmethod
+    def _gate_logits(logits_dev, passed_dev, t, m, h, w):
+        """Blank failed pairs to the -inf sentinel and lay out [M, T, h, w]
+        (shared by both `_apply_sam` flavors; runs on device)."""
+        logits = jnp.where(
+            passed_dev[:, None, None], logits_dev, jnp.float16(NEG_INF)
+        )
+        return logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)
+
+    def _scores_from_iou(self, xp, has_visible, iou_all, t, m):
+        """Per-frame scores (-inf where no prompt point was visible) and the
+        finite-frames-mean pred_scores — the reference
+        `_apply_sam_to_trajectories` scoring (:840-866). `xp` is np for the
+        host flavor, jnp for the device flavor."""
+        scores_per_frame = xp.where(has_visible, iou_all, NEG_INF).reshape(t, m)
         hv = has_visible.reshape(t, m)
-        iou_tm = iou_all.reshape(t, m)
-        scores_per_frame = jnp.where(hv, iou_tm, NEG_INF)
         counts = hv.sum(axis=0)
-        sums = jnp.where(hv, iou_tm, 0.0).sum(axis=0)
-        pred_scores = sums / jnp.where(counts != 0, counts, 1)
-        return pred_scores, logits, scores_per_frame
+        sums = xp.where(hv, iou_all.reshape(t, m), 0.0).sum(axis=0)
+        pred_scores = sums / xp.where(counts != 0, counts, 1)
+        return pred_scores, scores_per_frame
 
     # ------------------------------------------------------------------
     # Tracking + filtering
@@ -712,53 +742,27 @@ class SamPt:
         # the reference still scores.
         has_visible = (lbl_flat != -1).any(axis=1)
 
-        # 3. Chunked batched decode with chaining + refinement. The last chunk
-        # is padded to the full chunk size so every call shares one compiled
-        # program. Low-res logits stay ON DEVICE; each chunk is upscaled and
-        # downloaded as float16 (SAM logits are O(10) with a 0.0 decision
-        # threshold, so fp16's mantissa is far below the mask-boundary noise
-        # floor — and the transfer is half the bytes).
+        # 3. Chunked batched decode with chaining + refinement (the shared
+        # `_decode_all_pairs` loop). Low-res logits stay ON DEVICE; chunks
+        # are upscaled there and the result downloaded once as float16 (SAM
+        # logits are O(10) with a 0.0 decision threshold, so fp16's mantissa
+        # is far below the mask-boundary noise floor — and the transfer is
+        # half the bytes). Dispatching every chunk before any download keeps
+        # the device pipeline full (the old per-chunk download synced).
         keep_device = getattr(self, "_keep_logits_device", False)
-        iou_all = np.zeros((b,), np.float32)
-        chunk = min(self.sam_decode_chunk, b)
-        if self._data_sharding is not None:
-            ndev = int(self.mesh.devices.size)
-            chunk = min(self.sam_decode_chunk,
-                        ((b + ndev - 1) // ndev) * ndev)
-        dev_chunks = []
-        logits = None if keep_device else np.full((b, h, w), NEG_INF, np.float32)
-        for i in range(0, b, chunk):
-            sl = slice(i, min(i + chunk, b))
-            nb = sl.stop - sl.start
-            pad = chunk - nb
-            idx = np.concatenate([np.arange(sl.start, sl.stop),
-                                  np.full(pad, sl.start)])
-            emb = self._shard(_emb_index(embeddings, jnp.asarray(emb_flat[idx])))
-            pts = self._shard(jnp.asarray(pts_flat[idx]))
-            lbl = self._shard(jnp.asarray(lbl_flat[idx]))
-            chain = self._get_chain_fn(original_hw, upscale=True)
-            up, iou = chain(predictor.params, emb, pts, lbl)
-            if keep_device:
-                dev_chunks.append(up[:nb])
-            else:
-                logits[sl] = np.asarray(up)[:nb].astype(np.float32)
-            iou_all[sl] = np.asarray(iou)[:nb]
-
+        logits_dev, iou_dev = self._decode_all_pairs(
+            embeddings, emb_flat, pts_flat, lbl_flat, original_hw
+        )
+        iou_all = np.asarray(iou_dev)
         passed = has_visible & (iou_all >= self.sam_iou_threshold)
-        if keep_device:
-            logits = jnp.concatenate(dev_chunks, axis=0)
-            logits = jnp.where(
-                jnp.asarray(passed)[:, None, None], logits,
-                jnp.float16(NEG_INF),
-            )
-            logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)
-        else:
-            logits[~passed] = NEG_INF
-            logits = logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)  # [M, T, H, W]
-        scores_per_frame = np.where(has_visible, iou_all, NEG_INF).reshape(t, m)
-        counts = has_visible.reshape(t, m).sum(axis=0)
-        sums = np.where(has_visible, iou_all, 0.0).reshape(t, m).sum(axis=0)
-        pred_scores = sums / np.where(counts != 0, counts, 1)
+        logits = self._gate_logits(
+            logits_dev, jnp.asarray(passed), t, m, h, w
+        )
+        if not keep_device:
+            logits = np.asarray(logits).astype(np.float32)  # [M, T, H, W]
+        pred_scores, scores_per_frame = self._scores_from_iou(
+            np, has_visible, iou_all, t, m
+        )
         return pred_scores, logits, scores_per_frame
 
     def _upload_and_encode(self, images: np.ndarray):
