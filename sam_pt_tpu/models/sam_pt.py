@@ -500,14 +500,15 @@ class SamPt:
         )
         return pred_scores, logits, scores_per_frame
 
-    def _decode_all_pairs(self, embeddings, emb_flat, pts_flat, lbl_flat, hw):
+    def _decode_all_pairs(self, embeddings, emb_flat, pts_flat, lbl_flat, hw,
+                          chain=None):
         """Chunked padded batched decode chain over all (frame, mask) pairs —
         the ONE decode loop shared by the host and device `_apply_sam`
-        flavors. Prompt arrays may be host numpy or device arrays; returns
-        DEVICE (upscaled logits [B, h, w] float16, iou [B] float32). The
-        last chunk is padded to the full chunk size so every call shares one
-        compiled program; nothing here blocks — downloads are the caller's
-        choice."""
+        flavors (and, via the `chain` override, the interactive per-frame
+        sweep). Prompt arrays may be host numpy or device arrays; returns
+        DEVICE (upscaled logits [B, h, w], iou [B] float32). The last chunk
+        is padded to the full chunk size so every call shares one compiled
+        program; nothing here blocks — downloads are the caller's choice."""
         h, w = hw
         b = pts_flat.shape[0]
         pts_all = jnp.asarray(pts_flat)
@@ -517,7 +518,8 @@ class SamPt:
             ndev = int(self.mesh.devices.size)
             chunk = min(self.sam_decode_chunk,
                         ((b + ndev - 1) // ndev) * ndev)
-        chain = self._get_chain_fn((h, w), upscale=True)
+        if chain is None:
+            chain = self._get_chain_fn((h, w), upscale=True)
         dev_chunks, iou_chunks = [], []
         for i in range(0, b, chunk):
             sl = slice(i, min(i + chunk, b))

@@ -189,8 +189,10 @@ class SamPtInteractive(SamPt):
         # interaction feed ONLY the history dump (never control flow:
         # advancement uses the single-frame iou_after, the threshold-ladder
         # cache uses per-frame pass_ious) — skip them when history isn't
-        # kept; they decode every frame per interaction.
-        track_overall = self.save_history and not self.disable_point_tracking
+        # kept; they decode every frame per interaction. NOTE: keyed on
+        # save_history alone — gating on disable_point_tracking too wrote
+        # history dumps full of NaN overall metrics in that mode.
+        track_overall = self.save_history
         if track_overall:
             _, _, prev_ious, prev_bss = full_pass(
                 trajectories, visibilities, point_labels
@@ -393,28 +395,17 @@ class SamPtInteractive(SamPt):
 
         has_pos = (lbl == 1).any(axis=1)
 
-        chunk = min(self.sam_decode_chunk, n_frames)
-        logits = np.zeros((n_frames, h, w), np.float32)
-        scores = np.zeros((n_frames,), np.float32)
-        for i in range(0, n_frames, chunk):
-            sl = slice(i, min(i + chunk, n_frames))
-            nb = sl.stop - sl.start
-            idx = np.concatenate(
-                [np.asarray(frame_idxs[sl.start : sl.stop]),
-                 np.full(chunk - nb, frame_idxs[sl.start])]
-            )
-            rows = np.concatenate(
-                [np.arange(sl.start, sl.stop), np.full(chunk - nb, sl.start)]
-            )
-            emb = _emb_index(embeddings, jnp.asarray(idx))
-            chain = self._get_interactive_chain_fn((h, w))
-            up, iou = chain(
-                self.sam_predictor.params, emb,
-                jnp.asarray(pts[rows]), jnp.asarray(lbl[rows]),
-            )
-            logits[sl] = np.asarray(up)[:nb]
-            scores[sl] = np.asarray(iou)[:nb]
-
+        # shared chunk-padded decode loop (SamPt._decode_all_pairs) with the
+        # interactive chain; every chunk is dispatched before the single
+        # download, so the device pipeline never idles between chunks
+        up_dev, iou_dev = self._decode_all_pairs(
+            embeddings, np.asarray(frame_idxs), pts, lbl, (h, w),
+            chain=self._get_interactive_chain_fn((h, w)),
+        )
+        # np.array (not asarray): the zero-copy view of a device array is
+        # read-only, and the no-positive rows are zeroed in place below
+        logits = np.array(up_dev, np.float32)
+        scores = np.array(iou_dev, np.float32)
         logits[~has_pos] = 0.0
         scores[~has_pos] = 0.0
         return logits, scores

@@ -473,13 +473,15 @@ def evaluate(cfg) -> Dict:
             and cfg.get("score", True):
         sequences = "all"
         if vid_ids is not None or max_videos is not None:
-            # harness-owned output dirs are NOT sequences (the 'logs' dir is
+            # list sequences where the PNGs actually went (out_path, which is
+            # output/Annotations under save_scores or YouTube layouts);
+            # harness-owned dirs are NOT sequences (the 'logs' dir is
             # created by RunLogger above; 'Scores' by save_scores)
             non_sequence = {"overlapping", "logs", "Scores", "Annotations"}
             sequences = sorted(
-                s for s in os.listdir(cfg["output"])
+                s for s in os.listdir(out_path)
                 if "." not in s and s not in non_sequence
-                and path.isdir(path.join(cfg["output"], s))
+                and path.isdir(path.join(out_path, s))
             )
         if sequences != "all" and not sequences:
             print("No evaluated sequences found in the output dir — "
@@ -487,7 +489,7 @@ def evaluate(cfg) -> Dict:
             logger.finish()
             return results
         df_global, df_per_seq = Davis2017Evaluator(
-            results_path=cfg["output"],
+            results_path=out_path,
             davis_path=path.join(cfg["d17_path"], "trainval"),
             set="val",
             year="2017" if cfg["dataset"] == "D17" else "2016",
