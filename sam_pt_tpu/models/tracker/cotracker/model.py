@@ -38,6 +38,7 @@ from ..pips.model import (
     sample_corr_pyramid,
 )
 from ....ops.posemb import (
+    get_1d_sincos_embedding,
     get_2d_sincos_embedding,
     sincos_pos_embed_2d_grid,
 )
@@ -174,6 +175,11 @@ class CoTracker(nn.Module):
         pos = bilinear_sample(
             pe_table, coords_init[0, :, 0], coords_init[0, :, 1]
         )  # [N, input_dim]
+        # 1D sincos embedding of the window frame index (CoTracker v1's
+        # times_embed: x = transformer_input + pos_embed + times_embed)
+        times = get_1d_sincos_embedding(
+            jnp.arange(s, dtype=jnp.float32), self.input_dim
+        )  # [S, input_dim]
 
         coords = coords_init
         ffeats = jnp.broadcast_to(feats_init[None], (s, n, c))
@@ -182,25 +188,40 @@ class CoTracker(nn.Module):
             pyramid = correlation_pyramid(fmaps, ffeats, self.corr_levels)
             fcorrs = sample_corr_pyramid(pyramid, coords, self.corr_radius)
 
-            flows = (coords - coords[0:1]) * float(self.stride)
+            # flows stay in FEATURE-GRID units (v1's whole transformer
+            # operates at /stride scale; deltas apply to grid coords
+            # directly — no stride scaling on either side)
+            flows = coords - coords[0:1]
             flows_emb = get_2d_sincos_embedding(flows, 64, cat_coords=True)
 
             tokens = jnp.concatenate(
                 [flows_emb, fcorrs, ffeats], axis=-1
-            )  # [S, N, 454]
-            pad = self.input_dim - tokens.shape[-1]
+            )  # [S, N, 454] at the published config
+            # pad only for sub-456 test configs; the LAST TWO channels are
+            # always [track_mask, vis_init=10] as in v1 (the checkpoint's
+            # input_transform rows are trained on those flag values —
+            # zeroing whole inactive tokens would feed it an input
+            # distribution it never saw)
+            pad = self.input_dim - tokens.shape[-1] - 2
             if pad > 0:
                 tokens = jnp.concatenate(
                     [tokens, jnp.zeros((s, n, pad), tokens.dtype)], axis=-1
                 )
-            tokens = tokens * track_mask[..., None]
-            tokens = tokens + pos[None]
+            tokens = jnp.concatenate(
+                [
+                    tokens,
+                    track_mask[..., None].astype(tokens.dtype),
+                    jnp.full((s, n, 1), 10.0, tokens.dtype),
+                ],
+                axis=-1,
+            )
+            tokens = tokens + pos[None] + times[:, None]
 
             delta = self.updateformer(
                 jnp.swapaxes(tokens, 0, 1).astype(self.dtype)
             )  # [N, S, C+2]
             delta = jnp.swapaxes(delta, 0, 1)  # [S, N, C+2]
-            dcoords = delta[..., :2] / float(self.stride)
+            dcoords = delta[..., :2]
             dfeats = delta[..., 2:]
 
             upd = nn.gelu(

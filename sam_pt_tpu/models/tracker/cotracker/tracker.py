@@ -29,10 +29,11 @@ from ....utils.util import jitted_init
 
 
 def get_points_on_a_grid(grid_size: int, extent_hw) -> np.ndarray:
-    """[1, grid_size^2, 2] (x, y) support points on an interior grid."""
+    """[1, grid_size^2, 2] (x, y) support points, corner-to-corner like
+    CoTracker v1's helper (linspace(0, H-1) x linspace(0, W-1))."""
     h, w = extent_hw
-    ys = np.linspace(h / (2 * grid_size), h - h / (2 * grid_size), grid_size)
-    xs = np.linspace(w / (2 * grid_size), w - w / (2 * grid_size), grid_size)
+    ys = np.linspace(0, h - 1, grid_size)
+    xs = np.linspace(0, w - 1, grid_size)
     gy, gx = np.meshgrid(ys, xs, indexing="ij")
     return np.stack([gx, gy], axis=-1).reshape(1, -1, 2).astype(np.float32)
 
@@ -148,8 +149,14 @@ class CoTrackerPointTracker(PointTracker):
             frames = jnp.minimum(raw, t - 1)
             writable = (raw < t)[:, None]  # clamped duplicates must not write
             tm = track_mask[frames]
+            # init from the carry only for tracks already active in a
+            # PREVIOUS window (q_t < window start): a track activating in
+            # this window has no valid carry — its carried coords were
+            # "refined" while inactive and can be arbitrarily far from the
+            # query — so its whole window starts at the query coords
+            fresh = (q_t >= ind)[None, :, None]
             coords_init = jnp.where(
-                (frames[:, None] <= q_t[None, :])[..., None],
+                (frames[:, None] <= q_t[None, :])[..., None] | fresh,
                 q_xy_grid[None],
                 carried,
             )
@@ -226,14 +233,16 @@ class CoTrackerPointTracker(PointTracker):
         # encode once; the backward pass reuses the flipped feature maps
         # (the reference re-encodes the flipped video, tracker.py:155-161).
         # One-slot per-video cache: the orchestrator calls per MASK BATCH
-        # with the identical video object, so key on its identity and skip
-        # the CNN encoder on repeat calls.
+        # with the identical video object, so key on its identity (plus the
+        # params object — reloading weights must invalidate the features)
+        # and skip the CNN encoder on repeat calls.
         cache = getattr(self, "_fmap_cache", None)
-        if cache is not None and cache[0] is rgbs and cache[1] == video.shape:
-            fmaps = cache[2]
+        if (cache is not None and cache[0] is rgbs
+                and cache[1] == video.shape and cache[2] is self.params):
+            fmaps = cache[3]
         else:
             fmaps = self._encode_video(video)
-            self._fmap_cache = (rgbs, video.shape, fmaps)
+            self._fmap_cache = (rgbs, video.shape, self.params, fmaps)
         traj_f, vis_f = self._track_jit(
             self.params, fmaps, jnp.asarray(queries), t)
 

@@ -88,8 +88,11 @@ def get_2d_sincos_embedding(
     """Per-coordinate interleaved sin/cos embedding for [..., 2] coords.
 
     Same frequency ladder as get_3d_sincos_embedding (f_k = 2k * 1000 / C),
-    blocks [emb_x, emb_y] with raw coords appended — the flow embedding used
-    by CoTracker-style trackers.
+    raw coords then blocks [emb_x, emb_y] — the flow embedding used by
+    CoTracker-style trackers. NOTE: unlike PIPS's in-repo get_3d_embedding
+    (which APPENDS xyz, misc.py:52-54), CoTracker v1's own get_2d_embedding
+    PREPENDS xy (cat([xy, pe])); the converted checkpoint's input_transform
+    rows are laid out for the prepended order.
     """
     c = num_channels
     div_term = (
@@ -104,15 +107,18 @@ def get_2d_sincos_embedding(
 
     pe = jnp.concatenate([emb(xy[..., 0:1]), emb(xy[..., 1:2])], axis=-1)
     if cat_coords:
-        pe = jnp.concatenate([pe, xy], axis=-1)
+        pe = jnp.concatenate([xy, pe], axis=-1)
     return pe
 
 
 def sincos_pos_embed_2d_grid(embed_dim: int, grid_hw) -> jnp.ndarray:
     """MAE-style 2D sincos positional embedding table [H, W, embed_dim].
 
-    Half the channels encode y, half encode x; each half is [sin, cos] over
-    omega_k = 1 / 10000^(k / (d/4)).
+    FIRST half of the channels encodes x, second half y (MAE's
+    get_2d_sincos_pos_embed builds grid = meshgrid(grid_w, grid_h), so
+    grid[0] — the x mesh — feeds the first half); each half is [sin, cos]
+    over omega_k = 1 / 10000^(k / (d/4)). CoTracker v1's sample_pos_embed
+    consumes exactly this layout.
     """
     h, w = grid_hw
     d_half = embed_dim // 2
@@ -125,8 +131,8 @@ def sincos_pos_embed_2d_grid(embed_dim: int, grid_hw) -> jnp.ndarray:
     emb_x = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], axis=-1)  # [W, d/2]
     out = jnp.concatenate(
         [
-            jnp.broadcast_to(emb_y[:, None, :], (h, w, d_half)),
             jnp.broadcast_to(emb_x[None, :, :], (h, w, d_half)),
+            jnp.broadcast_to(emb_y[:, None, :], (h, w, d_half)),
         ],
         axis=-1,
     )

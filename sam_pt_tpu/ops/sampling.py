@@ -178,10 +178,13 @@ def patch_sample(
     coordinate (xy + offset) with zero padding.
 
     img: [H, W, C]; points_xy: [N, 2] (x, y).
-    Returns [N, patch_size * patch_size, C].
+    Returns [N, K * K, C] where K = 2*(patch_size//2) + 1 — i.e. patch_size
+    for odd sizes, patch_size+1 for even ones, mirroring the reference's
+    arange-based template (its even-size grid also has p+1 points per side).
     """
     half = patch_size // 2
     offs = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    k = int(offs.shape[0])
     out = separable_neighborhood_sample(
         jnp.transpose(img, (2, 0, 1)),  # [C, H, W]
         points_xy[:, None, 0],  # [N, 1] broadcasting over channel axis
@@ -192,4 +195,4 @@ def patch_sample(
     )  # [N, C, K, K]
     n = points_xy.shape[0]
     c = img.shape[-1]
-    return jnp.transpose(out.reshape(n, c, patch_size * patch_size), (0, 2, 1))
+    return jnp.transpose(out.reshape(n, c, k * k), (0, 2, 1))

@@ -71,7 +71,10 @@ class TestTracker:
         assert traj.shape == (1, t, 1, 2)
 
     def test_support_grid(self):
+        # v1 semantics: corner-to-corner linspace(0, extent-1)
         pts = get_points_on_a_grid(2, (100, 200))
         assert pts.shape == (1, 4, 2)
-        assert (pts[..., 0] > 0).all() and (pts[..., 0] < 200).all()
-        assert (pts[..., 1] > 0).all() and (pts[..., 1] < 100).all()
+        assert (pts[..., 0] >= 0).all() and (pts[..., 0] <= 199).all()
+        assert (pts[..., 1] >= 0).all() and (pts[..., 1] <= 99).all()
+        np.testing.assert_allclose(pts[0, 0], [0.0, 0.0])
+        np.testing.assert_allclose(pts[0, -1], [199.0, 99.0])

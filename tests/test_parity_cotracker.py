@@ -15,6 +15,7 @@ tests/test_parity_pips.py; here the transformer core is exercised.
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -114,7 +115,164 @@ class TorchUpdateFormer(nn.Module):
         return self.flow_head(x)
 
 
+# --- full v1 forward_iteration transcription -------------------------------
+# MAE-style sincos tables exactly as the published get_*_sincos_pos_embed
+# numpy helpers build them (CoTracker v1 vendors them verbatim).
+
+def _mae_1d(embed_dim, pos):
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float64), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def _mae_2d_grid(embed_dim, grid_hw):
+    h, w = grid_hw
+    grid = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))  # grid[0] = x mesh
+    emb_x = _mae_1d(embed_dim // 2, grid[0])  # [h*w, d/2]
+    emb_y = _mae_1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_x, emb_y], axis=1).reshape(h, w, embed_dim)
+
+
+def _torch_get_2d_embedding(xy, c):
+    """v1's get_2d_embedding(xy, C, cat_coords=True): interleaved sin/cos per
+    coordinate, raw xy PREPENDED."""
+    b, n, _ = xy.shape
+    x, y = xy[..., 0:1], xy[..., 1:2]
+    div = (torch.arange(0, c, 2).float() * (1000.0 / c)).reshape(1, 1, c // 2)
+    pe_x = torch.zeros(b, n, c)
+    pe_y = torch.zeros(b, n, c)
+    pe_x[..., 0::2] = torch.sin(x * div)
+    pe_x[..., 1::2] = torch.cos(x * div)
+    pe_y[..., 0::2] = torch.sin(y * div)
+    pe_y[..., 1::2] = torch.cos(y * div)
+    return torch.cat([xy, pe_x, pe_y], dim=2)
+
+
+class TorchCoTrackerWindow(nn.Module):
+    """The published CoTracker v1 forward_iteration for ONE window, on
+    precomputed feature maps: correlation pyramid (the same CorrBlock as the
+    reference's in-repo PIPS), flow/pos/times embeddings, flag channels,
+    UpdateFormer, GroupNorm+Linear+GELU feature updater, visibility head."""
+
+    def __init__(self, latent=8, input_dim=336, hidden=64, heads=4,
+                 time_depth=4, space_depth=2):
+        super().__init__()
+        self.latent = latent
+        self.input_dim = input_dim
+        self.updateformer = TorchUpdateFormer(
+            space_depth=space_depth, time_depth=time_depth,
+            input_dim=input_dim, hidden_size=hidden, num_heads=heads,
+            output_dim=latent + 2)
+        self.norm = nn.GroupNorm(1, latent)
+        self.ffeat_updater = nn.Sequential(nn.Linear(latent, latent),
+                                           nn.GELU())
+        self.vis_predictor = nn.Sequential(nn.Linear(latent, 1))
+
+    def forward(self, fmaps, coords_init, feats_init, track_mask, iters):
+        # fmaps [S, C, H8, W8]; coords_init [S, N, 2] grid units;
+        # feats_init [N, C]; track_mask [S, N]
+        pips = load_ref("sam_pt.point_tracker.pips.pips")
+        samp = load_ref("sam_pt.point_tracker.utils.samp")
+        s, c, h8, w8 = fmaps.shape
+        n = coords_init.shape[1]
+        fcorr = pips.CorrBlock(fmaps[None], num_levels=4, radius=3)
+
+        table = torch.from_numpy(
+            _mae_2d_grid(self.input_dim, (h8, w8))).float()
+        pos = samp.bilinear_sample2d(
+            table.permute(2, 0, 1)[None],
+            coords_init[0, :, 0][None], coords_init[0, :, 1][None],
+        )[0].permute(1, 0)  # [N, input_dim]
+        times = torch.from_numpy(
+            _mae_1d(self.input_dim, np.arange(s, dtype=np.float32))).float()
+
+        coords = coords_init.clone()
+        ffeats = feats_init[None].repeat(s, 1, 1)
+        for _ in range(iters):
+            fcorr.corr(ffeats[None])
+            fcorrs = fcorr.sample(coords[None])[0]  # [S, N, LRR]
+            flows = coords - coords[0:1]
+            flows_cat = _torch_get_2d_embedding(
+                flows.permute(1, 0, 2), 64)  # [N, S, 130]
+            tokens = torch.cat(
+                [
+                    flows_cat,
+                    fcorrs.permute(1, 0, 2),
+                    ffeats.permute(1, 0, 2),
+                    track_mask.permute(1, 0)[..., None],
+                    torch.full((n, s, 1), 10.0),
+                ],
+                dim=2,
+            )  # [N, S, input_dim]
+            x = tokens + pos[:, None, :] + times[None]
+            delta = self.updateformer(x[None])[0]  # [N, S, latent+2]
+            d_coord = delta[..., :2].permute(1, 0, 2)
+            d_feats = delta[..., 2:].permute(1, 0, 2)
+            ffeats = ffeats + self.ffeat_updater(
+                self.norm(d_feats.reshape(-1, self.latent))
+            ).reshape(s, n, self.latent)
+            coords = coords + d_coord
+        vis = self.vis_predictor(
+            ffeats.reshape(-1, self.latent)).reshape(s, n)
+        return coords, vis, ffeats
+
+
 class TestCoTrackerParity:
+    def test_full_window_forward_matches_torch(self, rng):
+        """Full v1 forward_iteration (token assembly + refinement loop +
+        heads) vs the torch transcription, through the converter."""
+        from sam_pt_tpu.models.tracker.cotracker.model import CoTracker
+
+        torch.manual_seed(3)
+        latent = 8
+        input_dim = 130 + 196 + latent + 2  # flows_emb, fcorrs, feats, flags
+        tw = TorchCoTrackerWindow(latent=latent, input_dim=input_dim).eval()
+
+        s, n, h8, w8 = 8, 5, 24, 16
+        fmaps = rng.standard_normal((s, latent, h8, w8)).astype(np.float32)
+        base = rng.uniform(3.0, 12.0, (1, n, 2)).astype(np.float32)
+        walk = rng.normal(0, 0.7, (s, n, 2)).astype(np.float32).cumsum(0)
+        coords_init = base + walk
+        feats_init = rng.standard_normal((n, latent)).astype(np.float32)
+        track_mask = (np.arange(s)[:, None]
+                      >= np.array([0, 0, 3, 5, 0])[None]).astype(np.float32)
+
+        sd = {k: v for k, v in tw.state_dict().items()}
+        sd.update(_fnet_state_dict())
+        params = convert_cotracker_state_dict(sd)
+
+        model = CoTracker(s=s, stride=4, latent_dim=latent, input_dim=input_dim,
+                          hidden_size=64, num_heads=4, space_depth=2,
+                          time_depth=4)
+
+        # The refinement loop feeds coords back through bilinear correlation
+        # sampling, so with RANDOM (non-contractive) weights float noise
+        # amplifies ~200x per iteration (measured: 1e-6 @ iters=1,
+        # 2e-4 @ iters=2, 2.5e-2 @ iters=3 — pure torch-vs-XLA summation
+        # order). iters=1 pins the exact wiring; iters=2 guards the
+        # coords/ffeats carry across iterations.
+        for iters, atol in ((1, 1e-5), (2, 2e-3)):
+            with torch.no_grad():
+                rc, rv, rf = tw(
+                    torch.from_numpy(fmaps), torch.from_numpy(coords_init),
+                    torch.from_numpy(feats_init),
+                    torch.from_numpy(track_mask), iters=iters,
+                )
+            jc, jv, jf = model.apply(
+                params,
+                jnp.asarray(np.transpose(fmaps, (0, 2, 3, 1))),  # [S,H8,W8,C]
+                jnp.asarray(coords_init), jnp.asarray(feats_init),
+                jnp.asarray(track_mask), iters=iters,
+            )
+            np.testing.assert_allclose(np.asarray(jc), rc.numpy(), atol=atol,
+                                       rtol=0)
+            np.testing.assert_allclose(np.asarray(jv), rv.numpy(), atol=atol,
+                                       rtol=0)
+            np.testing.assert_allclose(np.asarray(jf), rf.numpy(), atol=atol,
+                                       rtol=0)
+
     def test_updateformer_matches_torch(self, rng):
         torch.manual_seed(0)
         tf = TorchUpdateFormer(space_depth=2, time_depth=4, input_dim=40,
