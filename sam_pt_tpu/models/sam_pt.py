@@ -245,6 +245,9 @@ class SamPt:
         n_masks, n_points, _ = query_points.shape
 
         if hasattr(self.point_tracker, "set_masks"):
+            # SuperGlue keeps per-video mask state: `_track_points`' mask
+            # batching would desync it (reference sam_pt.py:190 asserts too)
+            assert self.point_tracker_mask_batch_size >= n_masks
             self.point_tracker.set_masks(query_masks)
 
         # device-logits mode: skip the logits download in _apply_sam entirely
@@ -832,6 +835,14 @@ class SamPt:
         (dispatch latency is a first-order cost on remote-attached TPUs).
         The returned fn maps (params, emb, pts, lbl) -> (low_res or upscaled
         logits, iou); compiled programs are cached per shape/flag key.
+
+        Documented deviation: for a pair with NO visible positive points (but
+        some visible negatives), the reference still feeds pass 1's output —
+        a decode from zero real prompt points — as pass 2's mask input
+        (sam_pt.py:792-807 runs unconditionally); here `mask_valid` falls
+        back to the learned no-mask embedding instead, since a promptless
+        decode is outside SAM's training distribution and its output is
+        arbitrary. Pairs with >= 1 visible positive match the reference.
         """
         key = (
             tuple(original_hw),
@@ -1020,6 +1031,7 @@ class SamPt:
             qp_i[:, :, 0] -= start
 
             if hasattr(self.point_tracker, "set_masks"):
+                assert self.point_tracker_mask_batch_size >= m
                 q_masks = self.extract_query_masks(
                     images[start:end_tracker], qp_i,
                     embeddings=_emb_index(

@@ -186,6 +186,44 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16,
     return pending if defer else pending.get()
 
 
+def _resize_frames_host(images: np.ndarray, hw) -> np.ndarray:
+    """[T, H, W, 3] uint8 -> [T, *hw, 3] uint8 (PIL bilinear, host-side)."""
+    if images.shape[1:3] == tuple(hw):
+        return images
+    return np.stack([
+        np.asarray(Image.fromarray(f).resize((hw[1], hw[0]), Image.BILINEAR))
+        for f in images
+    ])
+
+
+def _visualize_video(cfg, vid_name, images, target_hw, logits_mt,
+                     gt_resized_all, gt_ti_list, trajectories, visibilities):
+    """Render the per-video prediction overlay (reference eval.py:389-418).
+
+    The reference logs a wandb video of the fused logits (with pre-query
+    suppression + GT overwrite), trajectories and per-visibility point
+    colors; this renders the same overlay to disk under `output/viz/` as
+    gif/mp4 per `log_fmt`.
+
+    logits_mt: [M, T, h, w] float host array (pre-fusion, per mask).
+    """
+    from ..utils.viz import render_predictions, save_video
+
+    lg = logits_mt.astype(np.float32).copy()
+    for i, ti in enumerate(gt_ti_list):
+        lg[i, :ti] = -1e8
+        lg[i, ti] = np.where(gt_resized_all[i] > 0.5, 1e8, -1e8)
+    frames = render_predictions(
+        _resize_frames_host(images, target_hw),
+        [lg[i] for i in range(lg.shape[0])],
+        trajectories, visibilities,
+    )
+    fmt = cfg.get("log_fmt", "gif")
+    out = path.join(cfg["output"], "viz", f"{vid_name}.{fmt}")
+    save_video(frames, out)
+    print(f"Saved visualization to {out}")
+
+
 class _PendingVideo(NamedTuple):
     """A processed video whose fused-mask download is still in flight."""
 
@@ -354,16 +392,28 @@ def evaluate(cfg) -> Dict:
                 model, images, query_masks, gt_ti_list
             )
 
+        viz_this = (
+            cfg.get("visualize_results", False)
+            and vid_id < cfg.get("max_videos_to_visualize", 30)
+            and (cfg.get("vid_ids_to_visualize") is None
+                 or vid_id in cfg["vid_ids_to_visualize"])
+        )
+        save_overlapping = cfg.get("save_overlapping_masks", False)
+
         start = time.perf_counter()
 
         # device fusion keeps per-mask logits on the accelerator and only
-        # downloads uint8 index masks; probability saving needs the host path
-        device_fusion = cfg.get("device_fusion", True) and not cfg.get(
-            "save_scores", False
+        # downloads uint8 index masks; probability saving and the fused-
+        # logits dump (save_overlapping_masks) need the host path
+        device_fusion = (
+            cfg.get("device_fusion", True)
+            and not cfg.get("save_scores", False)
+            and not save_overlapping
         )
 
         pred_logits = []
         device_parts = []
+        viz_traj, viz_vis = [], []
         for i in range(0, n_masks, masks_batch_size):
             video = {
                 "video_name": vid_name,
@@ -382,6 +432,9 @@ def evaluate(cfg) -> Dict:
                 pred_logits.extend(outputs["logits"])
             else:
                 device_parts.append(outputs["logits"])  # [m_i, T, h, w] dev
+            if viz_this and outputs.get("trajectories") is not None:
+                viz_traj.append(np.asarray(outputs["trajectories"]))
+                viz_vis.append(np.asarray(outputs["visibilities"]))
 
         t_frames = len(rgbs)
         gt_resized_all = np.stack(
@@ -416,6 +469,14 @@ def evaluate(cfg) -> Dict:
             total_frames += t_frames
             if resolved_prev is not None:  # PNG writes stay untimed
                 _save_pngs(*resolved_prev)
+            if viz_this:  # untimed, like the reference's post-timing viz
+                _visualize_video(
+                    cfg, vid_name, images, target_hw,
+                    np.asarray(logits_dev),
+                    gt_resized_all, gt_ti_list,
+                    np.concatenate(viz_traj, axis=1) if viz_traj else None,
+                    np.concatenate(viz_vis, axis=1) if viz_vis else None,
+                )
             continue
         else:
             logits = np.stack(
@@ -443,6 +504,23 @@ def evaluate(cfg) -> Dict:
             index_masks,
             probs=probs if cfg.get("save_scores", False) else None,
         )
+        if save_overlapping:
+            # fused multi-object logits, suppression + GT overwrite applied
+            # (reference eval.py:383-386 torch.save of `logits` under a
+            # sibling `overlapping/` dir; .npz here)
+            np_path = path.join(cfg["output"], "..", "overlapping", vid_name)
+            os.makedirs(np_path, exist_ok=True)
+            np.savez_compressed(
+                path.join(np_path, "logits.npz"), logits=logits
+            )
+        if viz_this:
+            _visualize_video(
+                cfg, vid_name, images, target_hw,
+                logits.transpose(1, 0, 2, 3)[1:],
+                gt_resized_all, gt_ti_list,
+                np.concatenate(viz_traj, axis=1) if viz_traj else None,
+                np.concatenate(viz_vis, axis=1) if viz_vis else None,
+            )
 
     if prev_video is not None:  # resolve the last video's deferred download
         t0 = time.perf_counter()
@@ -457,6 +535,20 @@ def evaluate(cfg) -> Dict:
     print(f"FPS: {fps:.3f}")
 
     results = {"fps": fps, "total_frames": total_frames}
+
+    if not cfg.get("save_scores", False) and cfg.get("make_zip", True):
+        # archive the results for submission (reference eval.py:430-435:
+        # YouTube layouts zip the Annotations subtree, others the whole dir)
+        import shutil
+
+        print("Making zip...")
+        if cfg["dataset"].startswith("Y"):
+            shutil.make_archive(
+                path.join(cfg["output"], path.basename(cfg["output"])),
+                "zip", cfg["output"], "Annotations",
+            )
+        else:
+            shutil.make_archive(cfg["output"], "zip", cfg["output"])
 
     from ..utils.logging import RunLogger
 
@@ -477,7 +569,8 @@ def evaluate(cfg) -> Dict:
             # output/Annotations under save_scores or YouTube layouts);
             # harness-owned dirs are NOT sequences (the 'logs' dir is
             # created by RunLogger above; 'Scores' by save_scores)
-            non_sequence = {"overlapping", "logs", "Scores", "Annotations"}
+            non_sequence = {"overlapping", "logs", "Scores", "Annotations",
+                            "viz"}
             sequences = sorted(
                 s for s in os.listdir(out_path)
                 if "." not in s and s not in non_sequence
@@ -499,6 +592,28 @@ def evaluate(cfg) -> Dict:
         results["df_global"] = df_global
         results["df_per_seq"] = df_per_seq
         logger.set_summary(score=results["J&F-Mean"])
+
+    if cfg["dataset"] == "BDD100K" and cfg.get("split", "val") == "val" \
+            and cfg.get("score", True):
+        # auto-score like the reference (eval.py:463-478)
+        from .bdd100keval import BDD100KEvaluator
+
+        non_sequence = {"overlapping", "logs", "Scores", "Annotations", "viz"}
+        sequences = sorted(
+            s for s in os.listdir(cfg["output"])
+            if "." not in s and s not in non_sequence
+            and path.isdir(path.join(cfg["output"], s))
+        )
+        print(f"Sequences to evaluate: {sequences}")
+        df_global, df_per_seq = BDD100KEvaluator(
+            results_path=cfg["output"],
+            dataset_path=path.join(cfg["bdd100k_path"],
+                                   cfg.get("split", "val")),
+            sequences=sequences,
+        ).evaluate()
+        results["df_global"] = df_global
+        results["df_per_seq"] = df_per_seq
+        logger.set_summary(n_sequences=len(sequences))
 
     logger.finish()
     return results

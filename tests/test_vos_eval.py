@@ -151,6 +151,48 @@ class TestEndToEndEval:
         outs = os.listdir(tmp_path / "out" / "vid0")
         assert len(outs) == 4
 
+    def test_viz_overlapping_and_zip_artifacts(self, tmp_path):
+        """visualize_results renders output/viz/<vid>.gif, the
+        save_overlapping_masks fused-logits dump lands in the sibling
+        overlapping/ dir (host-fusion path forced), and the results zip is
+        created (reference eval.py:383-435 surfaces)."""
+        from sam_pt_tpu.vos_eval.eval import evaluate
+
+        davis_root = tmp_path / "DAVIS2017"
+        fabricate_davis(str(davis_root))
+
+        cfg = {
+            "seed": 72,
+            "dataset": "D17",
+            "split": "val",
+            "size": 480,
+            "longest_size": None,
+            "d17_path": str(davis_root),
+            "output": str(tmp_path / "out"),
+            "save_all": False,
+            "masks_batch_size": 100,
+            "max_videos": None,
+            "max_frames": None,
+            "vid_ids": None,
+            "score": True,
+            "visualize_results": True,
+            "vid_ids_to_visualize": None,  # all videos
+            "save_overlapping_masks": True,
+            "model": {
+                "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
+                "height": 48,
+                "width": 64,
+            },
+        }
+        results = evaluate(cfg)
+        assert "J&F-Mean" in results
+        assert path.exists(tmp_path / "out" / "viz" / "vid0.gif")
+        over = np.load(tmp_path / "overlapping" / "vid0" / "logits.npz")
+        t, h, w = 4, 48, 64
+        assert over["logits"].shape[0] == t
+        assert over["logits"].shape[1] >= 2  # background + masks
+        assert path.exists(tmp_path / "out.zip")
+
     def test_synthetic_davis_subset_scoring(self, tmp_path):
         """max_videos subset scoring lists sequences from the output dir —
         it must skip harness-owned dirs (logs/, Scores/) or the DAVIS
@@ -241,7 +283,58 @@ class TestEndToEndEval:
         np.testing.assert_allclose(df_global["J&F-Mean"].iloc[0], 1.0)
 
 
+def fabricate_bdd(root, t=4, h=48, w=64):
+    """Mini BDD100K-VOS-style tree: val/{JPEGImages,Annotations}/seq0 with
+    an object appearing mid-video (first-appearance semantics)."""
+    rng = np.random.default_rng(9)
+    jd = path.join(root, "val", "JPEGImages", "seq0")
+    ad = path.join(root, "val", "Annotations", "seq0")
+    os.makedirs(jd)
+    os.makedirs(ad)
+    for ti in range(t):
+        img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        Image.fromarray(img).save(path.join(jd, f"{ti:07d}.jpg"))
+        mask = np.zeros((h, w), np.uint8)
+        mask[10:22, 8:24] = 1
+        if ti >= 2:
+            mask[30:42, 40:60] = 2  # appears at frame 2
+        im = Image.fromarray(mask, mode="P")
+        im.putpalette(DAVIS_PALETTE)
+        im.save(path.join(ad, f"{ti:07d}.png"))
+
+
 class TestBDD100K:
+    def test_end_to_end_harness_with_autoscore(self, tmp_path):
+        """Full evaluate() on a fabricated BDD tree: first-appearance GT
+        handling (label 2 enters at frame 2) and the end-of-run BDD100K
+        auto-scoring branch (reference eval.py:463-478)."""
+        from sam_pt_tpu.vos_eval.eval import evaluate
+
+        bdd_root = tmp_path / "bdd"
+        fabricate_bdd(str(bdd_root))
+        cfg = {
+            "seed": 72,
+            "dataset": "BDD100K",
+            "split": "val",
+            "size": 480,
+            "longest_size": None,
+            "bdd100k_path": str(bdd_root),
+            "output": str(tmp_path / "out"),
+            "save_all": True,
+            "masks_batch_size": 100,
+            "model": {
+                "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
+                "height": 48,
+                "width": 64,
+            },
+        }
+        results = evaluate(cfg)
+        assert results["total_frames"] == 4
+        # auto-scoring ran: per-object rows for both objects
+        assert len(results["df_per_seq"]) == 2
+        assert "J&F-Mean" in results["df_global"].columns
+
+
     def test_perfect_prediction_and_first_appearance(self, tmp_path):
         from sam_pt_tpu.vos_eval.bdd100keval import BDD100KEvaluator
 
