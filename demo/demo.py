@@ -35,8 +35,14 @@ def load_frames(
     frame_stride: int = 1,
     max_frames: Optional[int] = None,
     longest_side_length: Optional[int] = None,
-) -> np.ndarray:
-    """Load a frame directory or a video file -> [T, H, W, 3] uint8 RGB."""
+) -> Tuple[np.ndarray, float]:
+    """Load a frame directory or a video file.
+
+    Returns ([T, H, W, 3] uint8 RGB, resize_scale) — the scale the frames
+    were shrunk by (longest_side_length), which query points in
+    original-frame coordinates must be multiplied by (reference
+    demo.py:210-220 threads the same resize_factor into load_query_points).
+    """
     if cv2 is None:
         raise ImportError(
             "opencv (cv2) is required to load demo frames/videos"
@@ -72,6 +78,7 @@ def load_frames(
     if not frames:
         raise FileNotFoundError(f"No frames found at {frames_path}")
     video = np.stack(frames)
+    scale = 1.0
     if longest_side_length:
         h, w = video.shape[1:3]
         scale = longest_side_length / max(h, w)
@@ -81,17 +88,19 @@ def load_frames(
                 [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_AREA)
                  for f in video]
             )
-    return video
+    return video, scale
 
 
 def load_query_points(
-    path: str, scale: float = 1.0
+    path: str, scale: float = 1.0, frame_stride: int = 1
 ) -> Tuple[np.ndarray, int]:
     """Parse the reference query-points txt format.
 
     Line 1: number of positive points; following lines:
     `timestep ; x1,y1 x2,y2 ...` — positives first, negatives after
-    (reference demo.py:225-252, data/demo_data/README.md).
+    (reference demo.py:225-252, data/demo_data/README.md). Coordinates are
+    scaled by the frame resize factor and timesteps remapped to the strided
+    frame indexing (reference :239-243 asserts t % stride == 0).
     Returns (query_points [M, P, 3] (t, x, y), n_positive).
     """
     with open(path) as f:
@@ -100,10 +109,16 @@ def load_query_points(
     masks = []
     for line in lines[1:]:
         ts, _, rest = line.partition(";")
+        t = int(ts)
+        assert t % frame_stride == 0, (
+            f"query timestep {t} is not a multiple of frame_stride "
+            f"{frame_stride}"
+        )
+        t //= frame_stride
         pts = []
         for tok in rest.split():
             x, y = tok.split(",")
-            pts.append((float(ts), float(x) * scale, float(y) * scale))
+            pts.append((float(t), float(x) * scale, float(y) * scale))
         masks.append(pts)
     n_points = max(len(m) for m in masks)
     assert all(len(m) == n_points for m in masks), "ragged query point lists"
@@ -128,15 +143,21 @@ def main(cfg) -> dict:
     enable_persistent_cache()
 
     seed_all(cfg.get("seed", 72))
-    images = load_frames(
+    images, resize_scale = load_frames(
         cfg["frames_path"],
         cfg.get("frame_stride", 1),
         cfg.get("max_frames"),
         cfg.get("longest_side_length"),
     )
     if cfg.get("query_points_path"):
+        # query files use original-frame coordinates: auto-scale by the
+        # frame resize factor (reference demo.py:210-220); an explicit
+        # query_points_scale overrides the automatic factor
+        scale = cfg.get("query_points_scale")
         query_points, n_positive = load_query_points(
-            cfg["query_points_path"], cfg.get("query_points_scale", 1.0)
+            cfg["query_points_path"],
+            resize_scale if scale is None else scale,
+            cfg.get("frame_stride", 1),
         )
     else:  # fall back to the interactive cv2 click UI (needs a display)
         query_points, n_positive = interactive_query_points(images)

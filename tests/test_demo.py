@@ -28,7 +28,8 @@ class TestDemo:
             "query_points_path": os.path.join(
                 DEMO_DATA, "query_points__bees.txt"
             ),
-            "query_points_scale": 256 / 1280,  # clip is 720x1280
+            # query_points_scale omitted: auto-scaled by the frame resize
+            # factor (256/1280 for the 720x1280 clip), like the reference
             "frame_stride": 5,
             "max_frames": 4,
             "longest_side_length": 256,
