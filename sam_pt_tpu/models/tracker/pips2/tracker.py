@@ -167,15 +167,21 @@ class PipsPlusPlusPointTracker(PointTracker):
         trajectories = np.zeros((t, n, 2), np.float32)
         for ts, idxs in groups.items():
             pts = qp[idxs, 1:]
-            if ts < t - 1:
-                left = self._forward_direction(fmaps[ts:], pts)
-                trajectories[ts:, idxs] = left
             if ts > 0:
+                # the reference merge drops the right pass's value AT the
+                # query frame (cat(right[:, :-1], left), tracker.py:116):
+                # frame ts belongs to the left pass
                 right = self._forward_direction(
                     fmaps_flipped[t - 1 - ts :], pts
                 )[::-1]
-                trajectories[: ts + 1, idxs] = right
-            if ts == t - 1:
+                trajectories[:ts, idxs] = right[:ts]
+            if ts < t - 1:
+                left = self._forward_direction(fmaps[ts:], pts)
+                trajectories[ts:, idxs] = left
+            else:
+                # query at the last frame: the reference's merge produces a
+                # ragged (t-1)-frame track and crashes downstream; pin the
+                # query coords instead (documented deviation)
                 trajectories[ts, idxs] = pts
 
         visibilities = np.ones((t, n), np.float32)

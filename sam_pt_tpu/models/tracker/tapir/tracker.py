@@ -98,7 +98,11 @@ class TapirPointTracker(PointTracker):
         # uint8 (4x less wire traffic than float32) and never round-trips
         # back to the host
         frames_dev = (
-            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE)
+            # antialias: the reference downsamples with antialias=True
+            # (tapir/tracker.py:86-87) — a triangle filter, not plain
+            # bilinear; matters for parity at 480p -> 256
+            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE,
+                            antialias=True)
             / 255.0 * 2.0 - 1.0
         )
 
@@ -182,7 +186,8 @@ class OnlineTapirPointTracker:
         h, w = frame.shape[:2]
         self._hw = (h, w)
         f = resize_bilinear(
-            jnp.asarray(frame.astype(np.float32))[None], TRAIN_SIZE
+            jnp.asarray(frame.astype(np.float32))[None], TRAIN_SIZE,
+            antialias=True,  # reference tapir/tracker.py:86-87
         )
         return f / 255.0 * 2.0 - 1.0
 

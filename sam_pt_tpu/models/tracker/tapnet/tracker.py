@@ -89,7 +89,9 @@ class TapNetPointTracker(PointTracker):
 
         # resize + normalization on device; the video uploads once as uint8
         frames_dev = (
-            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE)
+            # reference downsamples with antialias=True (tapnet/tracker.py:80)
+            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE,
+                            antialias=True)
             / 255.0 * 2.0 - 1.0
         )
 
@@ -114,7 +116,9 @@ class TapNetPointTracker(PointTracker):
             tracks[i : i + nb] = np.asarray(out["tracks"])[:nb]
             occ[i : i + nb] = np.asarray(out["occlusion"])[:nb]
 
-        visibles = 1.0 / (1.0 + np.exp(-occ)) < self.visibility_threshold
+        # reference: (1 - sigmoid(occ)) > threshold (tapnet/tracker.py:96-99)
+        # — equivalent to sigmoid < threshold ONLY at the default 0.5
+        visibles = (1.0 - 1.0 / (1.0 + np.exp(-occ))) > self.visibility_threshold
 
         tracks[..., 0] *= w / TRAIN_SIZE[1]
         tracks[..., 1] *= h / TRAIN_SIZE[0]
