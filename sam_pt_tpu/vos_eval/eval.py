@@ -221,6 +221,11 @@ def _visualize_video(cfg, vid_name, images, target_hw, logits_mt,
     fmt = cfg.get("log_fmt", "gif")
     out = path.join(cfg["output"], "viz", f"{vid_name}.{fmt}")
     save_video(frames, out)
+    if cfg.get("verbose_visualisations", False):
+        # the reference's verbose mode additionally logs the raw input clip
+        # (util.py visualize_predictions verbose=True input GIFs)
+        save_video(_resize_frames_host(images, target_hw),
+                   path.join(cfg["output"], "viz", f"{vid_name}_input.{fmt}"))
     print(f"Saved visualization to {out}")
 
 

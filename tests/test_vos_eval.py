@@ -177,6 +177,7 @@ class TestEndToEndEval:
             "score": True,
             "visualize_results": True,
             "vid_ids_to_visualize": None,  # all videos
+            "verbose_visualisations": True,
             "save_overlapping_masks": True,
             "model": {
                 "_target_": "sam_pt_tpu.utils.testing.build_tiny_sam_pt",
@@ -187,6 +188,7 @@ class TestEndToEndEval:
         results = evaluate(cfg)
         assert "J&F-Mean" in results
         assert path.exists(tmp_path / "out" / "viz" / "vid0.gif")
+        assert path.exists(tmp_path / "out" / "viz" / "vid0_input.gif")
         over = np.load(tmp_path / "overlapping" / "vid0" / "logits.npz")
         t, h, w = 4, 48, 64
         assert over["logits"].shape[0] == t
