@@ -164,9 +164,16 @@ class CoTracker(nn.Module):
         feats_init: jnp.ndarray,   # [N, C]
         track_mask: jnp.ndarray,   # [S, N] float (1 after query frame)
         iters: int = 4,
+        vis_init: Optional[jnp.ndarray] = None,  # [S, N] flag-channel value
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One window refinement. Returns (coords [S, N, 2] grid coords,
-        vis_logits [S, N], feats [S, N, C])."""
+        vis_logits [S, N], feats [S, N, C]).
+
+        vis_init is the second flag channel fed to the transformer: 10.0 for
+        a track's first window (v1's `vis_init = ones * 10`), the PREVIOUS
+        window's predicted visibility logits for carried tracks (v1's
+        forward copies `vis[:, S//2:]` into the next window's vis_init).
+        None = all 10.0 (single-window use / tests)."""
         s, h8, w8, c = fmaps.shape
         n = coords_init.shape[1]
 
@@ -207,11 +214,16 @@ class CoTracker(nn.Module):
                 tokens = jnp.concatenate(
                     [tokens, jnp.zeros((s, n, pad), tokens.dtype)], axis=-1
                 )
+            vis_chan = (
+                jnp.full((s, n, 1), 10.0, tokens.dtype)
+                if vis_init is None
+                else vis_init[..., None].astype(tokens.dtype)
+            )
             tokens = jnp.concatenate(
                 [
                     tokens,
                     track_mask[..., None].astype(tokens.dtype),
-                    jnp.full((s, n, 1), 10.0, tokens.dtype),
+                    vis_chan,
                 ],
                 axis=-1,
             )

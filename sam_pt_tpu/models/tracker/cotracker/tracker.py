@@ -29,11 +29,15 @@ from ....utils.util import jitted_init
 
 
 def get_points_on_a_grid(grid_size: int, extent_hw) -> np.ndarray:
-    """[1, grid_size^2, 2] (x, y) support points, corner-to-corner like
-    CoTracker v1's helper (linspace(0, H-1) x linspace(0, W-1))."""
+    """[1, grid_size^2, 2] (x, y) support points, CoTracker v1 semantics:
+    a step margin of extent_w // 64 on every side (linspace(step, extent -
+    step)); grid_size == 1 returns the image center."""
     h, w = extent_hw
-    ys = np.linspace(0, h - 1, grid_size)
-    xs = np.linspace(0, w - 1, grid_size)
+    if grid_size == 1:
+        return np.array([[[w / 2.0, h / 2.0]]], np.float32)
+    step = w // 64
+    ys = np.linspace(step, h - step, grid_size)
+    xs = np.linspace(step, w - step, grid_size)
     gy, gx = np.meshgrid(ys, xs, indexing="ij")
     return np.stack([gx, gy], axis=-1).reshape(1, -1, 2).astype(np.float32)
 
@@ -139,48 +143,55 @@ class CoTrackerPointTracker(PointTracker):
             starts.append(max(t - s, 0))
         starts = jnp.asarray(starts, jnp.int32)
 
+        # traj in feature-grid units and vis as RAW LOGITS: windows after the
+        # first initialize coords AND the vis flag channel from the previous
+        # window's predictions (v1 copies coords[-1][:, S//2:] and
+        # vis[:, S//2:] into the next window's inits)
         traj0 = jnp.zeros((t, n, 2), jnp.float32)
         vis0 = jnp.zeros((t, n), jnp.float32)
-        carried0 = jnp.broadcast_to(q_xy_grid[None], (s, n, 2))
+        prev0 = jnp.int32(-(t + s))  # "no previous window": everything fresh
 
         def step(state, ind):
-            traj, vis, carried = state
+            traj, vis, prev_ind = state
             raw = ind + jnp.arange(s)
             frames = jnp.minimum(raw, t - 1)
             writable = (raw < t)[:, None]  # clamped duplicates must not write
             tm = track_mask[frames]
-            # init from the carry only for tracks already active in a
-            # PREVIOUS window (q_t < window start): a track activating in
-            # this window has no valid carry — its carried coords were
-            # "refined" while inactive and can be arbitrarily far from the
-            # query — so its whole window starts at the query coords
-            fresh = (q_t >= ind)[None, :, None]
+            # carried tracks = active in the window that produced the
+            # current state (v1 carries exactly the tracks with
+            # q_t < prev_window_start + S); a track activating later has no
+            # valid carry — its whole window starts at the query coords
+            # with flag value 10
+            fresh = (q_t >= prev_ind + s)[None, :]
+            # per-frame init from stored predictions: frames the previous
+            # windows already predicted use them; frames beyond repeat the
+            # last prediction (v1's cat([coords[S//2:], last-repeat]) —
+            # generalized via the state so the shifted tail window stays
+            # aligned)
+            init_idx = jnp.clip(jnp.minimum(frames, prev_ind + s - 1), 0,
+                                t - 1)
             coords_init = jnp.where(
-                (frames[:, None] <= q_t[None, :])[..., None] | fresh,
+                ((frames[:, None] <= q_t[None, :]) | fresh)[..., None],
                 q_xy_grid[None],
-                carried,
+                traj[init_idx],
             )
+            vis_init = jnp.where(fresh, 10.0, vis[init_idx])
             coords_w, vis_w, _ = self.model.apply(
                 params, fmaps[frames], coords_init, feats, tm,
-                iters=self.iters,
+                iters=self.iters, vis_init=vis_init,
             )
             traj = traj.at[frames].set(
-                jnp.where(writable[..., None], coords_w * self.stride,
-                          traj[frames])
+                jnp.where(writable[..., None], coords_w, traj[frames])
             )
             vis = vis.at[frames].set(
-                jnp.where(writable, jax.nn.sigmoid(vis_w), vis[frames])
+                jnp.where(writable, vis_w, vis[frames])
             )
-            carried = jnp.concatenate(
-                [coords_w[s // 2 :],
-                 jnp.repeat(coords_w[-1:], s // 2, axis=0)], axis=0
-            )
-            return (traj, vis, carried), None
+            return (traj, vis, ind), None
 
-        (traj, vis, _), _ = jax.lax.scan(step, (traj0, vis0, carried0), starts)
+        (traj, vis, _), _ = jax.lax.scan(step, (traj0, vis0, prev0), starts)
 
-        traj = traj * track_mask[..., None]
-        vis = vis * track_mask
+        traj = traj * self.stride * track_mask[..., None]
+        vis = jax.nn.sigmoid(vis) * track_mask
         return traj, vis
 
     def forward(self, rgbs, query_points: np.ndarray):

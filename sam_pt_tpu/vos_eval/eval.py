@@ -205,16 +205,26 @@ def _visualize_video(cfg, vid_name, images, target_hw, logits_mt,
     colors; this renders the same overlay to disk under `output/viz/` as
     gif/mp4 per `log_fmt`.
 
-    logits_mt: [M, T, h, w] float host array (pre-fusion, per mask).
+    logits_mt: [M, T, h, w] float array; logits/trajectories/visibilities
+    may still be device arrays — this runs OUTSIDE the timed FPS region, so
+    the downloads land here, not in the benchmark.
     """
     from ..utils.viz import render_predictions, save_video
 
-    lg = logits_mt.astype(np.float32).copy()
+    lg = np.asarray(logits_mt).astype(np.float32)
+    if trajectories is not None:
+        trajectories = np.concatenate(
+            [np.asarray(x) for x in trajectories], axis=1
+        )
+        visibilities = np.concatenate(
+            [np.asarray(x) for x in visibilities], axis=1
+        )
     for i, ti in enumerate(gt_ti_list):
         lg[i, :ti] = -1e8
         lg[i, ti] = np.where(gt_resized_all[i] > 0.5, 1e8, -1e8)
+    resized = _resize_frames_host(images, target_hw)
     frames = render_predictions(
-        _resize_frames_host(images, target_hw),
+        resized,
         [lg[i] for i in range(lg.shape[0])],
         trajectories, visibilities,
     )
@@ -224,7 +234,7 @@ def _visualize_video(cfg, vid_name, images, target_hw, logits_mt,
     if cfg.get("verbose_visualisations", False):
         # the reference's verbose mode additionally logs the raw input clip
         # (util.py visualize_predictions verbose=True input GIFs)
-        save_video(_resize_frames_host(images, target_hw),
+        save_video(resized,
                    path.join(cfg["output"], "viz", f"{vid_name}_input.{fmt}"))
     print(f"Saved visualization to {out}")
 
@@ -438,8 +448,11 @@ def evaluate(cfg) -> Dict:
             else:
                 device_parts.append(outputs["logits"])  # [m_i, T, h, w] dev
             if viz_this and outputs.get("trajectories") is not None:
-                viz_traj.append(np.asarray(outputs["trajectories"]))
-                viz_vis.append(np.asarray(outputs["visibilities"]))
+                # keep the raw (possibly device) handles: np.asarray here
+                # would block the timed loop on the whole device pipeline;
+                # _visualize_video downloads them outside the timed region
+                viz_traj.append(outputs["trajectories"])
+                viz_vis.append(outputs["visibilities"])
 
         t_frames = len(rgbs)
         gt_resized_all = np.stack(
@@ -476,11 +489,9 @@ def evaluate(cfg) -> Dict:
                 _save_pngs(*resolved_prev)
             if viz_this:  # untimed, like the reference's post-timing viz
                 _visualize_video(
-                    cfg, vid_name, images, target_hw,
-                    np.asarray(logits_dev),
+                    cfg, vid_name, images, target_hw, logits_dev,
                     gt_resized_all, gt_ti_list,
-                    np.concatenate(viz_traj, axis=1) if viz_traj else None,
-                    np.concatenate(viz_vis, axis=1) if viz_vis else None,
+                    viz_traj or None, viz_vis or None,
                 )
             continue
         else:
@@ -523,8 +534,7 @@ def evaluate(cfg) -> Dict:
                 cfg, vid_name, images, target_hw,
                 logits.transpose(1, 0, 2, 3)[1:],
                 gt_resized_all, gt_ti_list,
-                np.concatenate(viz_traj, axis=1) if viz_traj else None,
-                np.concatenate(viz_vis, axis=1) if viz_vis else None,
+                viz_traj or None, viz_vis or None,
             )
 
     if prev_video is not None:  # resolve the last video's deferred download

@@ -71,10 +71,11 @@ class TestTracker:
         assert traj.shape == (1, t, 1, 2)
 
     def test_support_grid(self):
-        # v1 semantics: corner-to-corner linspace(0, extent-1)
-        pts = get_points_on_a_grid(2, (100, 200))
+        # v1 semantics: step = w // 64 margin on every side
+        pts = get_points_on_a_grid(2, (384, 512))
         assert pts.shape == (1, 4, 2)
-        assert (pts[..., 0] >= 0).all() and (pts[..., 0] <= 199).all()
-        assert (pts[..., 1] >= 0).all() and (pts[..., 1] <= 99).all()
-        np.testing.assert_allclose(pts[0, 0], [0.0, 0.0])
-        np.testing.assert_allclose(pts[0, -1], [199.0, 99.0])
+        np.testing.assert_allclose(pts[0, 0], [8.0, 8.0])
+        np.testing.assert_allclose(pts[0, -1], [504.0, 376.0])
+        # grid_size == 1 -> image center
+        one = get_points_on_a_grid(1, (100, 200))
+        np.testing.assert_allclose(one[0, 0], [100.0, 50.0])

@@ -170,9 +170,12 @@ class TorchCoTrackerWindow(nn.Module):
                                            nn.GELU())
         self.vis_predictor = nn.Sequential(nn.Linear(latent, 1))
 
-    def forward(self, fmaps, coords_init, feats_init, track_mask, iters):
+    def forward(self, fmaps, coords_init, feats_init, track_mask, iters,
+                vis_init=None):
         # fmaps [S, C, H8, W8]; coords_init [S, N, 2] grid units;
-        # feats_init [N, C]; track_mask [S, N]
+        # feats_init [N, C]; track_mask [S, N]; vis_init [S, N] flag-channel
+        # values (v1: 10.0 on a track's first window, carried vis logits on
+        # later windows)
         pips = load_ref("sam_pt.point_tracker.pips.pips")
         samp = load_ref("sam_pt.point_tracker.utils.samp")
         s, c, h8, w8 = fmaps.shape
@@ -190,6 +193,8 @@ class TorchCoTrackerWindow(nn.Module):
 
         coords = coords_init.clone()
         ffeats = feats_init[None].repeat(s, 1, 1)
+        if vis_init is None:
+            vis_init = torch.full((s, n), 10.0)
         for _ in range(iters):
             fcorr.corr(ffeats[None])
             fcorrs = fcorr.sample(coords[None])[0]  # [S, N, LRR]
@@ -202,7 +207,7 @@ class TorchCoTrackerWindow(nn.Module):
                     fcorrs.permute(1, 0, 2),
                     ffeats.permute(1, 0, 2),
                     track_mask.permute(1, 0)[..., None],
-                    torch.full((n, s, 1), 10.0),
+                    vis_init.permute(1, 0)[..., None],
                 ],
                 dim=2,
             )  # [N, S, input_dim]
@@ -253,18 +258,27 @@ class TestCoTrackerParity:
         # 2e-4 @ iters=2, 2.5e-2 @ iters=3 — pure torch-vs-XLA summation
         # order). iters=1 pins the exact wiring; iters=2 guards the
         # coords/ffeats carry across iterations.
-        for iters, atol in ((1, 1e-5), (2, 2e-3)):
+        # vis_init=None pins the first-window flag value (10.0); the random
+        # vis_init pins the carried-window path (v1 feeds the previous
+        # window's vis logits into this channel)
+        vis_carried = rng.normal(0, 4.0, (s, n)).astype(np.float32)
+        for vis_init, iters, atol in (
+            (None, 1, 1e-5), (None, 2, 2e-3), (vis_carried, 1, 1e-5),
+        ):
             with torch.no_grad():
                 rc, rv, rf = tw(
                     torch.from_numpy(fmaps), torch.from_numpy(coords_init),
                     torch.from_numpy(feats_init),
                     torch.from_numpy(track_mask), iters=iters,
+                    vis_init=None if vis_init is None
+                    else torch.from_numpy(vis_init),
                 )
             jc, jv, jf = model.apply(
                 params,
                 jnp.asarray(np.transpose(fmaps, (0, 2, 3, 1))),  # [S,H8,W8,C]
                 jnp.asarray(coords_init), jnp.asarray(feats_init),
                 jnp.asarray(track_mask), iters=iters,
+                vis_init=None if vis_init is None else jnp.asarray(vis_init),
             )
             np.testing.assert_allclose(np.asarray(jc), rc.numpy(), atol=atol,
                                        rtol=0)
