@@ -31,6 +31,7 @@ class Sam(nn.Module):
     encoder_variant: str = "vit_b"
     image_size: int = 1024
     prompt_embed_dim: int = 256
+    mask_in_chans: int = 16
     mask_threshold: float = 0.0
     pixel_mean: Tuple[float, float, float] = PIXEL_MEAN
     pixel_std: Tuple[float, float, float] = PIXEL_STD
@@ -81,6 +82,7 @@ class Sam(nn.Module):
             embed_dim=self.prompt_embed_dim,
             image_embedding_size=(grid, grid),
             input_image_size=(self.image_size, self.image_size),
+            mask_in_chans=self.mask_in_chans,
             dtype=self.dtype,
         )
         if self.use_hq:
@@ -146,12 +148,16 @@ class Sam(nn.Module):
         Returns (low_res_logits [B, T, 4g, 4g], iou_pred [B, T]) where
         T = 4 mask tokens; callers slice token 0 (single) or 1:4 (multi).
 
-        Pad handling: the reference feeds SAM only the visible points plus
-        exactly ONE not-a-point pad (segment_anything's box-pad). Our fixed
-        padded layout reproduces that numerically by (a) appending one
-        always-pad slot and (b) masking every pad slot except the first out
-        of the decoder's token attention (all pad slots share the identical
-        not_a_point embedding, so which one stays active is immaterial).
+        Pad handling: segment_anything appends exactly ONE not-a-point pad to
+        the visible points — but only when no box is given
+        (PromptEncoder._embed_points pad=(boxes is None)); the reference's
+        box-refinement passes supply a box (sam_pt/modeling/sam_pt.py:821-828)
+        and therefore run with NO pad token. Our fixed padded layout
+        reproduces both cases by (a) appending one always-pad slot and
+        (b) masking every pad slot out of the decoder's token attention
+        except the first — and all of them for rows that carry box-corner
+        labels (2/3). All pad slots share the identical not_a_point
+        embedding, so which one stays active is immaterial.
         """
         b = points.shape[0]
         points = jnp.concatenate(
@@ -162,7 +168,8 @@ class Sam(nn.Module):
         )
         is_pad = labels == -1
         first_pad = is_pad & (jnp.cumsum(is_pad.astype(jnp.int32), axis=1) == 1)
-        prompt_valid = ~is_pad | first_pad
+        has_box = (labels >= 2).any(axis=1)
+        prompt_valid = ~is_pad | (first_pad & ~has_box[:, None])
 
         sparse, dense = self.prompt_encoder(points, labels, mask_input, mask_valid)
         image_pe = self.prompt_encoder.get_dense_pe()

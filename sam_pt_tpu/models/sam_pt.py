@@ -131,6 +131,7 @@ class SamPt:
         reinit_point_tracker_horizon: int = 24,
         reinit_horizon: int = 24,
         reinit_variant: str = "reinit-at-median-of-area-diff",
+        fail_on_empty_reinit_mask: bool = False,
         sam_decode_chunk: int = 32,
         sam_encode_chunk: int = 4,
         seed: int = 72,
@@ -157,6 +158,7 @@ class SamPt:
         self.reinit_point_tracker_horizon = reinit_point_tracker_horizon
         self.reinit_horizon = reinit_horizon
         self.reinit_variant = reinit_variant
+        self.fail_on_empty_reinit_mask = fail_on_empty_reinit_mask
         self.sam_decode_chunk = sam_decode_chunk
         self.sam_encode_chunk = sam_encode_chunk
         self.rng = np.random.default_rng(seed)
@@ -836,13 +838,11 @@ class SamPt:
         The returned fn maps (params, emb, pts, lbl) -> (low_res or upscaled
         logits, iou); compiled programs are cached per shape/flag key.
 
-        Documented deviation: for a pair with NO visible positive points (but
-        some visible negatives), the reference still feeds pass 1's output —
-        a decode from zero real prompt points — as pass 2's mask input
-        (sam_pt.py:792-807 runs unconditionally); here `mask_valid` falls
-        back to the learned no-mask embedding instead, since a promptless
-        decode is outside SAM's training distribution and its output is
-        arbitrary. Pairs with >= 1 visible positive match the reference.
+        Pass 1's output is fed as pass 2's mask input UNCONDITIONALLY, like
+        the reference (sam_pt.py:792-807) — including for pairs with no
+        visible positive points, where pass 1 is a decode from the lone
+        not-a-point pad token (the reference's empty `point_coords` plus the
+        auto-appended pad produces the identical token set).
         """
         key = (
             tuple(original_hw),
@@ -867,10 +867,9 @@ class SamPt:
                     masks1, _ = predictor._decode(
                         params, emb, pts_model, pos_lbl, None, None
                     )
-                    mask_valid = (lbl == 1).any(axis=1)
                     masks, iou = predictor._decode(
                         params, emb, pts_model, lbl,
-                        masks1[:, 0, :, :, None], mask_valid,
+                        masks1[:, 0, :, :, None], None,
                     )
                     low, iou = masks[:, 0], iou[:, 0]
                 for _ in range(refine_iters):
@@ -887,15 +886,28 @@ class SamPt:
 
     def _box_refine_impl(self, params, emb, pts_model, lbl, low, iou,
                          original_hw):
-        """One box-refinement pass on model-space prompts (traced inline)."""
+        """One box-refinement pass (traced inline).
+
+        Exact reference semantics (sam_pt/modeling/sam_pt.py:809-828): the
+        box is the extent of the FULL-RES upsampled mask (`mask_frame_logits
+        > 0` at original resolution), with a per-element stop once the mask
+        has < 2 pixels. The reference passes those original-image pixel
+        coordinates to `predict_torch` WITHOUT `transform.apply_coords`
+        (predict_torch expects model-input coords, :821-828) — so the prompt
+        encoder reads them as model-space values; we replicate that verbatim
+        by appending the raw coords next to the already-scaled `pts_model`.
+        XLA fuses the upsample matmuls with the >0 compare and the row/col
+        reductions, so the full-res plane is never round-tripped to HBM.
+        """
         predictor = self.sam_predictor
-        g4 = low.shape[-1]
-        mask = low > 0  # [B, g4, g4]
+        up = predictor.upscale_logits(low, original_hw)  # [B, H, W]
+        mask = up > 0
+        h, w = mask.shape[1], mask.shape[2]
         area = mask.sum(axis=(1, 2))
         active = area >= 2
 
-        ys = jnp.arange(g4, dtype=jnp.float32)
-        xs = jnp.arange(g4, dtype=jnp.float32)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
         big = jnp.float32(1e9)
         y_any = mask.any(axis=2)
         x_any = mask.any(axis=1)
@@ -903,10 +915,7 @@ class SamPt:
         ymax = jnp.max(jnp.where(y_any, ys, -big), axis=1)
         xmin = jnp.min(jnp.where(x_any, xs, big), axis=1)
         xmax = jnp.max(jnp.where(x_any, xs, -big), axis=1)
-        # low-res grid -> model-input coords directly (x4 per grid cell)
-        box = jnp.stack(
-            [xmin * 4.0, ymin * 4.0, xmax * 4.0, ymax * 4.0], axis=1
-        )
+        box = jnp.stack([xmin, ymin, xmax, ymax], axis=1)
 
         corner_pts = box.reshape(-1, 2, 2)
         corner_lbl = jnp.where(
@@ -1076,10 +1085,20 @@ class SamPt:
             with np.errstate(invalid="ignore"):
                 chosen_area = area[np.arange(len(next_ts)), next_ts]
             # NaN chosen area = every candidate mask in the window was empty
-            # or tiny (<= 25 px, masked to NaN above) -> reinit FAILED for
-            # that object (reference :508-539 pushes its query points past
-            # the video end and emits -inf logits).
-            invalid = np.nan_to_num(chosen_area, nan=0.0) <= 0
+            # or tiny (<= 25 px, masked to NaN above). The reference's
+            # failure branch (:508-539, query points pushed past the video
+            # end + -inf logits) is DEAD CODE in torch: its test is
+            # `area_per_frame[...] <= 0` where masked entries are NaN, and
+            # NaN <= 0 is False — so the reference re-inits from the empty
+            # mask, whose samplers return all-zero points with a warning
+            # (utils/query_points.py:46-48). Default = that exact behavior;
+            # `fail_on_empty_reinit_mask=True` opts into the degradation the
+            # reference AUTHORED but never reaches (an extension, kept
+            # because -inf-ing a lost object beats tracking from (0, 0)).
+            if self.fail_on_empty_reinit_mask:
+                invalid = np.nan_to_num(chosen_area, nan=0.0) <= 0
+            else:
+                invalid = np.zeros(len(next_ts), bool)
 
             tracked_idx = np.nonzero(tracked)[0]
             if (~invalid).any():

@@ -15,10 +15,14 @@ import numpy as np
 # backend — device-side constant creation at import time made every CLI
 # import hang/fail when the accelerator tunnel was unavailable.
 _RGB2XYZ = np.array(
+    # skimage.color.colorconv.xyz_from_rgb verbatim (truncated constants) —
+    # the reference's patch filter goes through skimage, so LAB values (and
+    # near-threshold similarity decisions) must match ITS matrix, not a
+    # higher-precision derivation.
     [
-        [0.412456439089692, 0.357576077643909, 0.180437483266399],
-        [0.212672851405623, 0.715152155287818, 0.072174993306560],
-        [0.019333895582329, 0.119192025881303, 0.950304078536368],
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
     ],
     dtype=np.float32,
 )
@@ -47,9 +51,9 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     xyz = jnp.einsum("...c,dc->...d", linear, _RGB2XYZ)
     xyz = xyz / jnp.array([_XN, _YN, _ZN], dtype=jnp.float32)
 
-    eps = 0.008856451679035631  # (6/29)^3
-    kappa = 903.2962962962963  # (29/3)^3
-    f = jnp.where(xyz > eps, jnp.cbrt(xyz), (kappa * xyz + 16.0) / 116.0)
+    # skimage xyz2lab thresholds verbatim: eps 0.008856, linear coef 7.787
+    # (not the exact (6/29)^3 / (29/3)^3/116 values).
+    f = jnp.where(xyz > 0.008856, jnp.cbrt(xyz), 7.787 * xyz + 16.0 / 116.0)
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     l = 116.0 * fy - 16.0
     a = 500.0 * (fx - fy)

@@ -73,7 +73,7 @@ def hf_and_flax():
         window_size=2,
     ))
     model = Sam(encoder_variant="hf_parity_test", image_size=64,
-                prompt_embed_dim=32)
+                prompt_embed_dim=32, mask_in_chans=4)
     return hf, model, params
 
 
@@ -134,3 +134,56 @@ class TestSamFullModelParity:
             iou[0, 1:4], multi.iou_scores.numpy()[0, 0], atol=2e-3)
         np.testing.assert_allclose(
             masks[0, 0:1], single.pred_masks.numpy()[0, 0], atol=2e-3)
+
+    def test_box_and_mask_input_decode(self, hf_and_flax, rng):
+        """Box + mask-input prompt parity — the exact surface of the
+        reference's box-refinement pass (sam_pt/modeling/sam_pt.py:809-828):
+        points + a box + a low-res mask input, single-mask output.
+
+        Pins two composed semantics that the points-only tests can't see:
+        (a) segment_anything appends its not-a-point pad ONLY when no box is
+        given (PromptEncoder._embed_points pad=(boxes is None)) — our
+        decode_masks must drop the pad token for rows with corner labels;
+        (b) box corners are encoded as labels 2/3 next to the points.
+        """
+        import jax.numpy as jnp
+
+        from sam_pt_tpu.models.sam.sam_model import Sam
+
+        hf, model, params = hf_and_flax
+        img = rng.uniform(0, 255, size=(1, 64, 64, 3)).astype(np.float32)
+        px = ((img - MEAN) / STD).transpose(0, 3, 1, 2)
+        pts = np.array([[[10.0, 20.0], [40.0, 33.0]]], np.float32)
+        lbl = np.array([[1, 0]], np.int64)
+        box = np.array([[8.0, 12.0, 50.0, 60.0]], np.float32)
+        g4 = 4 * (64 // 16)
+        mask_in = rng.normal(size=(1, g4, g4)).astype(np.float32) * 3.0
+
+        with torch.no_grad():
+            ref = hf(
+                pixel_values=torch.from_numpy(px),
+                input_points=torch.from_numpy(pts[:, None]),
+                input_labels=torch.from_numpy(lbl[:, None]),
+                input_boxes=torch.from_numpy(box[:, None]),
+                input_masks=torch.from_numpy(mask_in[:, None]),
+                multimask_output=False,
+            )
+
+        emb = model.apply(params, jnp.asarray(img), method=Sam.encode_images)
+        pts_aug = np.concatenate(
+            [pts, box.reshape(1, 2, 2)], axis=1
+        )
+        lbl_aug = np.concatenate(
+            [lbl, np.array([[2, 3]], np.int64)], axis=1
+        )
+        masks, iou = model.apply(
+            params, emb, jnp.asarray(pts_aug),
+            jnp.asarray(lbl_aug.astype(np.int32)),
+            jnp.asarray(mask_in[..., None]), jnp.ones((1,), bool),
+            method=Sam.decode_masks,
+        )
+        np.testing.assert_allclose(
+            np.asarray(masks)[0, 0:1], ref.pred_masks.numpy()[0, 0],
+            atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(iou)[0, 0:1], ref.iou_scores.numpy()[0, 0], atol=2e-3)

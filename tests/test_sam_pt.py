@@ -156,12 +156,15 @@ class TestReinitFailure:
         """When every candidate reinit mask in a horizon window is empty,
         the object must be marked REINIT_FAILED (points pushed past the
         video end, -inf logits) instead of being silently re-tracked from
-        degenerate query points (reference sam_pt.py:508-539)."""
+        degenerate query points. OPT-IN extension: the reference authored
+        this branch (sam_pt.py:508-539) but its trigger is dead code there
+        (NaN <= 0 is False in torch), so parity default is off."""
         model = build_tiny_sam_pt(
             use_point_reinit=True,
             reinit_point_tracker_horizon=4,
             reinit_horizon=3,
             reinit_variant="reinit-at-median-of-area-diff",
+            fail_on_empty_reinit_mask=True,
         )
         t, h, w = 7, 48, 64
         video = make_video(t=t, h=h, w=w, with_masks=True)
