@@ -137,6 +137,7 @@ class SamPt:
         seed: int = 72,
         data_parallel: bool = False,
         mesh=None,
+        logits_dtype: str = "float16",
     ):
         self.point_tracker = point_tracker
         self.sam_predictor = sam_predictor
@@ -161,6 +162,11 @@ class SamPt:
         self.fail_on_empty_reinit_mask = fail_on_empty_reinit_mask
         self.sam_decode_chunk = sam_decode_chunk
         self.sam_encode_chunk = sam_encode_chunk
+        # dtype of the upscaled full-res logits planes. float16 halves the
+        # device->host transfer and its ~2^-10 relative rounding sits far
+        # below SAM's mask-boundary noise floor (logits are O(10) with a 0.0
+        # decision threshold); float32 is for bit-level parity auditing.
+        self.logits_dtype = jnp.dtype(logits_dtype)
         self.rng = np.random.default_rng(seed)
         self._chain_fns = {}  # jitted decode-chain programs, keyed by shape
         # Data parallelism (SURVEY §2.10 TPU-native mapping): the SAM encode
@@ -279,16 +285,22 @@ class SamPt:
             logits_arr = jnp.asarray(logits)
             # Whole-plane -inf sentinels (gated / fully-invisible pairs)
             # would become all-NaN through the matmul-based resize
-            # (0 * inf = NaN), poisoning the downstream multi-object argmax
-            # fusion. Clamp to a finite f16-safe floor first: blanked
-            # planes are uniform, so they resize to a uniform floor that
-            # still loses to the zero background channel.
+            # (0 * inf = NaN). Clamp to a finite floor for the resize, then
+            # restore the sentinel planes exactly (the reference's
+            # F.interpolate keeps them -inf, sam_pt.py:205-206, and
+            # downstream consumers test `isneginf`).
+            blank = jnp.isneginf(logits_arr).all(axis=(-2, -1))
             logits_arr = jnp.maximum(
                 logits_arr, jnp.asarray(-30000.0, logits_arr.dtype)
             )
             logits_dev = resize_bilinear(
                 logits_arr[..., None], target_hw
             )[..., 0]
+            logits_dev = jnp.where(
+                blank[..., None, None],
+                jnp.asarray(NEG_INF, logits_dev.dtype),
+                logits_dev,
+            )
         elif isinstance(logits, jnp.ndarray) or keep_device:
             logits_dev = jnp.asarray(logits)
         else:
@@ -554,7 +566,8 @@ class SamPt:
         """Blank failed pairs to the -inf sentinel and lay out [M, T, h, w]
         (shared by both `_apply_sam` flavors; runs on device)."""
         logits = jnp.where(
-            passed_dev[:, None, None], logits_dev, jnp.float16(NEG_INF)
+            passed_dev[:, None, None], logits_dev,
+            jnp.asarray(NEG_INF, logits_dev.dtype),
         )
         return logits.reshape(t, m, h, w).transpose(1, 0, 2, 3)
 
@@ -849,6 +862,7 @@ class SamPt:
             upscale,
             self.iterative_refinement_iterations,
             self.negative_points_per_mask > 0,
+            self.logits_dtype,
         )
         if key not in self._chain_fns:
             predictor = self.sam_predictor
@@ -878,7 +892,7 @@ class SamPt:
                     )
                 if upscale:
                     up = predictor.upscale_logits(low, original_hw)
-                    return up.astype(jnp.float16), iou
+                    return up.astype(self.logits_dtype), iou
                 return low, iou
 
             self._chain_fns[key] = jax.jit(chain)
@@ -978,7 +992,13 @@ class SamPt:
         traj_l = traj_l[::-1]
         vis_l = vis_l[::-1]
         logits_l = logits_l[:, ::-1]
-        spf_l = spf_l[::-1]
+        # Reference quirk replicated verbatim: the backward pass's
+        # scores_per_frame is NOT time-flipped before the stitch
+        # (sam_pt.py:386-388 flips trajectories/visibilities/logits only),
+        # so spf rows before each query timestep come from the UNFLIPPED
+        # backward array — whose first (flipped) rows were never tracked and
+        # hold NaN. Final `scores` therefore nanmean over the forward
+        # stretch only. Purely diagnostic output, so parity wins over a fix.
         traj_r, vis_r, logits_r, _, spf_r = r2l
 
         tgrid = np.arange(t)
@@ -1126,9 +1146,12 @@ class SamPt:
 
         with np.errstate(invalid="ignore"):
             scores = np.nanmean(scores_per_frame, axis=0)
-        # frames never reached keep NaN logits -> treat as empty masks
-        logits = np.nan_to_num(logits, nan=NEG_INF)
-        trajectories = np.nan_to_num(trajectories, nan=-72.0)
+        # frames never reached keep NaN logits -> treat as empty masks.
+        # NOT np.nan_to_num: its posinf/neginf defaults also rewrite the
+        # -inf empty-prompt sentinels to finite float-min, silently
+        # un-blanking windows that decoded from zero visible points.
+        logits = np.where(np.isnan(logits), NEG_INF, logits)
+        trajectories = np.where(np.isnan(trajectories), -72.0, trajectories)
         return trajectories, visibilities, logits, scores, scores_per_frame
 
     def _choose_reinit_timestep(self, area, pred_masks_i, current_ts, start):
