@@ -46,13 +46,20 @@ from ....ops.sampling import bilinear_sample
 
 
 class MHA(nn.Module):
-    """timm-style multi-head attention (qkv fused, bias on qkv and proj)."""
+    """timm-style multi-head attention (qkv fused, bias on qkv and proj).
+
+    `key_mask` [L] bool: False keys get -1e30 logits before the softmax —
+    an exact-zero contribution in float32, numerically identical to
+    excluding the tokens from the sequence (CoTracker v1 runs only the
+    already-activated track prefix through the transformer; see the
+    wrapper). -1e30 instead of -inf so an all-masked window degrades to
+    finite garbage (discarded by the caller) rather than NaN."""
 
     num_heads: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [B, L, C]
+    def __call__(self, x, key_mask=None):  # [B, L, C], [L] bool
         b, l, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
@@ -60,7 +67,10 @@ class MHA(nn.Module):
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = (q @ jnp.swapaxes(k, -1, -2)) / (hd ** 0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        attn = attn.astype(jnp.float32)
+        if key_mask is not None:
+            attn = jnp.where(key_mask[None, None, None, :], attn, -1e30)
+        attn = jax.nn.softmax(attn, -1).astype(self.dtype)
         out = attn @ v
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, l, c)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
@@ -74,10 +84,10 @@ class AttnBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         c = x.shape[-1]
         y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
-        x = x + MHA(self.num_heads, name="attn", dtype=self.dtype)(y)
+        x = x + MHA(self.num_heads, name="attn", dtype=self.dtype)(y, key_mask)
         y = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1",
                      dtype=self.dtype)(y)
@@ -100,7 +110,11 @@ class UpdateFormer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens):  # [N, S, input_dim] (single video)
+    def __call__(self, tokens, active=None):
+        # tokens [N, S, input_dim] (single video); active [N] bool — tracks
+        # not yet activated are masked out of the cross-track (space)
+        # attention, matching v1's per-window prefix slicing (time attention
+        # is per-track, so no masking is needed there)
         x = nn.Dense(self.hidden_size, name="input_transform",
                      dtype=self.dtype)(tokens)
         j = 0
@@ -111,7 +125,8 @@ class UpdateFormer(nn.Module):
             if self.add_space_attn and (i % stride == 0) and j < self.space_depth:
                 xs = jnp.swapaxes(x, 0, 1)  # [S, N, C] — attend across tracks
                 xs = AttnBlock(self.num_heads, self.mlp_ratio,
-                               name=f"space_blocks_{j}", dtype=self.dtype)(xs)
+                               name=f"space_blocks_{j}", dtype=self.dtype)(
+                    xs, key_mask=active)
                 x = jnp.swapaxes(xs, 0, 1)
                 j += 1
         return nn.Dense(self.output_dim, name="flow_head", dtype=self.dtype)(x)
@@ -165,6 +180,7 @@ class CoTracker(nn.Module):
         track_mask: jnp.ndarray,   # [S, N] float (1 after query frame)
         iters: int = 4,
         vis_init: Optional[jnp.ndarray] = None,  # [S, N] flag-channel value
+        active: Optional[jnp.ndarray] = None,    # [N] bool: in this window
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One window refinement. Returns (coords [S, N, 2] grid coords,
         vis_logits [S, N], feats [S, N, C]).
@@ -173,7 +189,14 @@ class CoTracker(nn.Module):
         a track's first window (v1's `vis_init = ones * 10`), the PREVIOUS
         window's predicted visibility logits for carried tracks (v1's
         forward copies `vis[:, S//2:]` into the next window's vis_init).
-        None = all 10.0 (single-window use / tests)."""
+        None = all 10.0 (single-window use / tests).
+
+        active marks tracks whose query frame falls before the window's end;
+        v1 runs ONLY that (sorted) prefix of tracks through the transformer
+        per window, so inactive tracks must not be visible to cross-track
+        attention — they are masked out of the space blocks (their own
+        outputs are garbage and must be discarded by the caller). None =
+        all tracks active."""
         s, h8, w8, c = fmaps.shape
         n = coords_init.shape[1]
 
@@ -230,7 +253,7 @@ class CoTracker(nn.Module):
             tokens = tokens + pos[None] + times[:, None]
 
             delta = self.updateformer(
-                jnp.swapaxes(tokens, 0, 1).astype(self.dtype)
+                jnp.swapaxes(tokens, 0, 1).astype(self.dtype), active
             )  # [N, S, C+2]
             delta = jnp.swapaxes(delta, 0, 1)  # [S, N, C+2]
             dcoords = delta[..., :2]

@@ -124,6 +124,31 @@ class CoTrackerPointTracker(PointTracker):
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _track_jit(self, params, fmaps, queries, t):
+        """Exact v1 `CoTracker.forward` semantics, reformulated as one
+        static-shape `lax.scan` over window starts:
+
+        - windows start at 0, S/2, ... while start < t - S/2; the last
+          window may overrun the video and reads repeat the final frame
+          (v1 pads rgbs_seq by repeating the last frame);
+        - per window, only tracks with q_t < start + S participate (v1 runs
+          the sorted active prefix); inactive tracks are masked out of the
+          space attention and their writes are discarded;
+        - carried tracks initialize coords/vis from the previous window's
+          predictions (first half) and its last frame (second half); their
+          flag channel is the EVOLVED track mask (v1 zeroes rows
+          [0, prev_start + S) after each window, so carried flags are
+          1 exactly on the window's second half); fresh tracks use query
+          coords, flag rows (frame >= q_t) and vis flag 10;
+        - overrun pad rows get flag 0 (v1's forward_iteration zero-pads a
+          short track_mask) and never write;
+        - pre-query frames inside a track's first window KEEP the model's
+          backward-in-window predictions (v1 writes the whole window);
+          frames before that window stay exactly 0 so the wrapper's
+          backward pass (mask = traj == 0) fills precisely them.
+
+        Returns traj [t, N, 2] in interp-scale pixels and vis [t, N]
+        sigmoid probabilities (unwritten entries: traj 0, vis 0.5, as v1).
+        """
         s = self.s
         n = queries.shape[0]
 
@@ -138,60 +163,55 @@ class CoTrackerPointTracker(PointTracker):
             jnp.arange(t)[:, None] >= q_t[None, :]
         ).astype(jnp.float32)
 
-        starts = list(range(0, max(t - s, 0) + 1, s // 2))
-        if starts[-1] != max(t - s, 0):
-            starts.append(max(t - s, 0))
-        starts = jnp.asarray(starts, jnp.int32)
+        assert t >= s, "videos shorter than the window are pre-padded"
+        starts = jnp.asarray(list(range(0, t - s // 2, s // 2)), jnp.int32)
 
-        # traj in feature-grid units and vis as RAW LOGITS: windows after the
-        # first initialize coords AND the vis flag channel from the previous
-        # window's predictions (v1 copies coords[-1][:, S//2:] and
-        # vis[:, S//2:] into the next window's inits)
-        traj0 = jnp.zeros((t, n, 2), jnp.float32)
-        vis0 = jnp.zeros((t, n), jnp.float32)
+        # traj in feature-grid units and vis as RAW LOGITS, scratch-padded
+        # by one window so the overrunning tail window's
+        # dynamic_update_slice lands in discarded rows
+        traj0 = jnp.zeros((t + s, n, 2), jnp.float32)
+        vis0 = jnp.zeros((t + s, n), jnp.float32)
         prev0 = jnp.int32(-(t + s))  # "no previous window": everything fresh
 
         def step(state, ind):
             traj, vis, prev_ind = state
             raw = ind + jnp.arange(s)
-            frames = jnp.minimum(raw, t - 1)
-            writable = (raw < t)[:, None]  # clamped duplicates must not write
-            tm = track_mask[frames]
-            # carried tracks = active in the window that produced the
-            # current state (v1 carries exactly the tracks with
-            # q_t < prev_window_start + S); a track activating later has no
-            # valid carry — its whole window starts at the query coords
-            # with flag value 10
+            frames = jnp.minimum(raw, t - 1)  # read-clamp = v1's repeat-pad
+            real = (raw < t).astype(jnp.float32)
+            active = q_t < ind + s
             fresh = (q_t >= prev_ind + s)[None, :]
-            # per-frame init from stored predictions: frames the previous
-            # windows already predicted use them; frames beyond repeat the
-            # last prediction (v1's cat([coords[S//2:], last-repeat]) —
-            # generalized via the state so the shifted tail window stays
-            # aligned)
+
+            tm = jnp.where(
+                fresh,
+                track_mask[frames],
+                (raw >= ind + s // 2).astype(jnp.float32)[:, None],
+            ) * real[:, None]
+
             init_idx = jnp.clip(jnp.minimum(frames, prev_ind + s - 1), 0,
                                 t - 1)
             coords_init = jnp.where(
-                ((frames[:, None] <= q_t[None, :]) | fresh)[..., None],
-                q_xy_grid[None],
-                traj[init_idx],
+                fresh[..., None], q_xy_grid[None], traj[init_idx]
             )
             vis_init = jnp.where(fresh, 10.0, vis[init_idx])
             coords_w, vis_w, _ = self.model.apply(
                 params, fmaps[frames], coords_init, feats, tm,
-                iters=self.iters, vis_init=vis_init,
+                iters=self.iters, vis_init=vis_init, active=active,
             )
-            traj = traj.at[frames].set(
-                jnp.where(writable[..., None], coords_w, traj[frames])
+            write = (real[:, None] * active[None, :].astype(jnp.float32)) > 0
+            old_t = jax.lax.dynamic_slice_in_dim(traj, ind, s)
+            old_v = jax.lax.dynamic_slice_in_dim(vis, ind, s)
+            traj = jax.lax.dynamic_update_slice_in_dim(
+                traj, jnp.where(write[..., None], coords_w, old_t), ind, 0
             )
-            vis = vis.at[frames].set(
-                jnp.where(writable, vis_w, vis[frames])
+            vis = jax.lax.dynamic_update_slice_in_dim(
+                vis, jnp.where(write, vis_w, old_v), ind, 0
             )
             return (traj, vis, ind), None
 
         (traj, vis, _), _ = jax.lax.scan(step, (traj0, vis0, prev0), starts)
 
-        traj = traj * self.stride * track_mask[..., None]
-        vis = jax.nn.sigmoid(vis) * track_mask
+        traj = traj[:t] * self.stride
+        vis = jax.nn.sigmoid(vis[:t])
         return traj, vis
 
     def forward(self, rgbs, query_points: np.ndarray):
@@ -257,20 +277,32 @@ class CoTrackerPointTracker(PointTracker):
         traj_f, vis_f = self._track_jit(
             self.params, fmaps, jnp.asarray(queries), t)
 
-        # backward pass on the flipped features; fill zeros from it
+        # backward pass on the flipped features; fill exact zeros from it.
+        # The reference flips the ORIGINAL video and its wrapper re-pads the
+        # flipped one, so for short videos the repeat-pad frames must come
+        # from original frame 0, not sit at the front of the flipped stack.
         queries_b = queries.copy()
-        queries_b[:, 0] = t - queries_b[:, 0] - 1
+        queries_b[:, 0] = t_orig - queries_b[:, 0] - 1
+        if t_orig < t:
+            fmaps_b = jnp.concatenate(
+                [fmaps[:t_orig][::-1],
+                 jnp.repeat(fmaps[:1], t - t_orig, axis=0)], axis=0
+            )
+        else:
+            fmaps_b = fmaps[::-1]
         traj_b, vis_b = self._track_jit(
-            self.params, fmaps[::-1], jnp.asarray(queries_b), t)
-        traj_b = traj_b[::-1]
-        vis_b = vis_b[::-1]
+            self.params, fmaps_b, jnp.asarray(queries_b), t)
+        traj_b = traj_b[:t_orig][::-1]
+        vis_b = vis_b[:t_orig][::-1]
 
+        traj_f = traj_f[:t_orig]
+        vis_f = vis_f[:t_orig]
         zero = traj_f == 0
         traj = jnp.where(zero, traj_b, traj_f)
         vis = jnp.where(zero[..., 0], vis_b, vis_f)
 
-        traj = traj[:t_orig, :n_points]
-        vis = vis[:t_orig, :n_points]
+        traj = traj[:, :n_points]
+        vis = vis[:, :n_points]
         vis = (vis > self.visibility_threshold).astype(jnp.float32)
         traj = traj * jnp.asarray([w / float(iw), h / float(ih)], jnp.float32)
         return traj[None], vis[None]

@@ -224,7 +224,240 @@ class TorchCoTrackerWindow(nn.Module):
         return coords, vis, ffeats
 
 
+class TorchCoTrackerV1(nn.Module):
+    """Transcription of the published v1 CoTracker.forward over a video:
+    sliding windows advancing by S/2 while start < T - S/2 (the tail window
+    may overrun the video; its reads repeat the last frame and the
+    track-mask rows beyond T are zero-padded), tracks sorted by query frame
+    and processed as the active prefix per window (later tracks are absent
+    from the transformer entirely), per-track features sampled once when a
+    track joins, coords/vis carried into the next window's first half (last
+    frame repeated into the second half), evolving track-mask zeroing of
+    rows [0, start+S) after each window, raw-logit accumulation, final
+    sigmoid. Pre-query frames inside a track's first window keep the
+    model's backward-in-window predictions; earlier frames stay 0."""
+
+    def __init__(self, window: TorchCoTrackerWindow, fnet, stride=4, s=8):
+        super().__init__()
+        self.window = window
+        self.fnet = fnet
+        self.stride = stride
+        self.s = s
+
+    @torch.no_grad()
+    def forward(self, rgbs, queries, iters):
+        # rgbs [T, 3, H, W] float 0-255 (T >= S); queries [N, 3] (t, x, y)
+        samp = load_ref("sam_pt.point_tracker.utils.samp")
+        t = rgbs.shape[0]
+        s = self.s
+        n = queries.shape[0]
+        first = queries[:, 0].long()
+        sort_inds = torch.argsort(first, stable=True)
+        inv_sort = torch.argsort(sort_inds)
+        first_s = first[sort_inds]
+        q_xy = (queries[:, 1:] / float(self.stride))[sort_inds]  # grid units
+
+        fmaps = self.fnet(2 * (rgbs / 255.0) - 1.0)  # [T, C, H8, W8]
+        latent = fmaps.shape[1]
+
+        traj_e = torch.zeros(t, n, 2)
+        vis_e = torch.zeros(t, n)
+        track_mask = (torch.arange(t)[:, None] >= first_s[None]).float()
+        coords_init = q_xy[None].repeat(s, 1, 1).clone()  # [S, N, 2]
+        vis_init = torch.full((s, n), 10.0)
+        feats = torch.zeros(n, latent)
+        prev_wind = 0
+        prev_coords = prev_vis = None
+        ind = 0
+        while ind < t - s // 2:
+            wind = int((first_s < ind + s).sum())
+            if wind == 0:
+                ind += s // 2
+                continue
+            frames = torch.clamp(torch.arange(ind, ind + s), max=t - 1)
+            s_local = min(s, t - ind)
+            for j in range(prev_wind, wind):  # newly joined tracks
+                feats[j] = samp.bilinear_sample2d(
+                    fmaps[first_s[j]][None],
+                    q_xy[j, 0].reshape(1, 1), q_xy[j, 1].reshape(1, 1),
+                )[0, :, 0]
+            if prev_wind > 0:
+                nc = prev_coords[s // 2:, :prev_wind]
+                coords_init[: s // 2, :prev_wind] = nc
+                coords_init[s // 2:, :prev_wind] = nc[-1]
+                nv = prev_vis[s // 2:, :prev_wind]
+                vis_init[: s // 2, :prev_wind] = nv
+                vis_init[s // 2:, :prev_wind] = nv[-1]
+            tm = track_mask[ind: ind + s, :wind]
+            if tm.shape[0] < s:  # overrun: v1 zero-pads the mask rows
+                tm = torch.cat([tm, torch.zeros(s - tm.shape[0], wind)], 0)
+            coords, vis, _ = self.window(
+                fmaps[frames], coords_init[:, :wind].clone(),
+                feats[:wind].clone(), tm, iters=iters,
+                vis_init=vis_init[:, :wind].clone(),
+            )
+            traj_e[ind: ind + s_local, :wind] = coords[:s_local]
+            vis_e[ind: ind + s_local, :wind] = vis[:s_local]
+            track_mask[: ind + s, :wind] = 0.0
+            prev_coords = torch.zeros(s, n, 2)
+            prev_coords[:, :wind] = coords
+            prev_vis = torch.zeros(s, n)
+            prev_vis[:, :wind] = vis
+            prev_wind = wind
+            ind += s // 2
+        traj_e = traj_e[:, inv_sort] * float(self.stride)
+        vis_e = torch.sigmoid(vis_e[:, inv_sort])
+        return traj_e, vis_e
+
+
+def torch_reference_wrapper_forward(model, rgbs_uint8, qp, interp_shape,
+                                    support_grid_size, every_n,
+                                    vis_threshold, iters):
+    """Transcription of the reference CoTracker wrapper
+    (sam_pt/point_tracker/cotracker/tracker.py:75-147, 149-170): resize to
+    interp_shape, scale queries, append support grids every N frames,
+    forward + backward pass on the flipped video, fill exact zeros from the
+    backward pass, drop support points, threshold, rescale. Uses the repo's
+    get_points_on_a_grid for both sides (its v1 semantics are pinned by
+    tests/test_cotracker.py)."""
+    import torch.nn.functional as F
+
+    from sam_pt_tpu.models.tracker.cotracker.tracker import (
+        get_points_on_a_grid,
+    )
+
+    t, h, w, _ = rgbs_uint8.shape
+    rgbs = torch.from_numpy(rgbs_uint8.astype(np.float32)).permute(0, 3, 1, 2)
+    ih, iw = interp_shape
+    if (ih, iw) != (h, w):
+        rgbs = F.interpolate(rgbs, (ih, iw), mode="bilinear")
+    queries = torch.from_numpy(np.asarray(qp, np.float32)).clone()
+    queries[:, 1] *= iw / w
+    queries[:, 2] *= ih / h
+    if support_grid_size > 0:
+        extra = []
+        for i in range(0, t, every_n):
+            grid = torch.from_numpy(
+                get_points_on_a_grid(support_grid_size, (ih, iw))[0])
+            extra.append(
+                torch.cat([torch.full((len(grid), 1), float(i)), grid], 1))
+        queries = torch.cat([queries] + extra, 0)
+
+    traj, vis = model(rgbs, queries, iters)
+    inv_q = queries.clone()
+    inv_q[:, 0] = t - inv_q[:, 0] - 1
+    traj_b, vis_b = model(rgbs.flip(0), inv_q, iters)
+    traj_b = traj_b.flip(0)
+    vis_b = vis_b.flip(0)
+    mask = traj == 0
+    traj[mask] = traj_b[mask]
+    vis[mask[..., 0]] = vis_b[mask[..., 0]]
+
+    n = qp.shape[0]
+    traj = traj[:, :n]
+    vis = vis[:, :n] > vis_threshold
+    traj[..., 0] *= w / float(iw)
+    traj[..., 1] *= h / float(ih)
+    return traj, vis
+
+
+def _tiny_full_stack(iters=1, latent=8):
+    """Torch v1 full model + converted params + our tracker, tiny dims.
+
+    A fresh tracker per `iters` config: `_track_jit` is jitted with `self`
+    static, so a mutated `tracker.iters` would silently reuse the cached
+    program."""
+    from sam_pt_tpu.models.tracker.cotracker.model import CoTracker
+    from sam_pt_tpu.models.tracker.cotracker.tracker import (
+        CoTrackerPointTracker,
+    )
+
+    input_dim = 130 + 196 + latent + 2
+    torch.manual_seed(11)
+    tw = TorchCoTrackerWindow(latent=latent, input_dim=input_dim).eval()
+    with torch.no_grad():
+        # Random (non-contractive) weights amplify float noise ~30x per
+        # chained window through the coords -> correlation-sample feedback
+        # (measured; trained weights are contractive). Scale the delta head
+        # down so the cross-window WIRING stays testable at tight tolerance.
+        tw.updateformer.flow_head.weight *= 0.05
+        tw.updateformer.flow_head.bias *= 0.05
+    pips = load_ref("sam_pt.point_tracker.pips.pips")
+    torch.manual_seed(12)
+    fnet = pips.BasicEncoder(output_dim=latent, norm_fn="instance",
+                             stride=4).eval()
+    tmodel = TorchCoTrackerV1(tw, fnet, stride=4, s=8)
+
+    sd = {k: v for k, v in tw.state_dict().items()}
+    sd.update({f"fnet.{k}": v for k, v in fnet.state_dict().items()})
+    params = convert_cotracker_state_dict(sd)
+
+    tracker = CoTrackerPointTracker(
+        interp_shape=None, support_grid_size=0, s=8, stride=4, iters=iters,
+        allow_random_init=True,
+    )
+    tracker.model = CoTracker(
+        s=8, stride=4, latent_dim=latent, input_dim=input_dim,
+        hidden_size=64, num_heads=4, space_depth=2, time_depth=4,
+    )
+    tracker.params = params
+    return tmodel, tracker
+
+
 class TestCoTrackerParity:
+    def test_full_forward_sliding_windows_matches_torch(self, rng):
+        """Whole-video v1 forward (windows + active-prefix exclusion +
+        carry + evolving track mask + overrunning tail window) vs the torch
+        transcription, through the converter. T=13 forces an overrun tail
+        window (starts 0/4/8, 3 repeat-pad frames); staggered query frames
+        force tracks to join at windows 0, 1 and 2."""
+        # 64x64 keeps the coarsest 4-level pyramid at 2x2 (the reference's
+        # RAFT-style bilinear_sampler divides by W-1, so 1x1 levels NaN)
+        t, h, w = 13, 64, 64
+        rgbs = rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
+        qp = np.array(
+            [[0, 18.0, 12.0], [0, 44.0, 52.0], [5, 34.0, 19.0], [9, 12.0, 38.0]],
+            np.float32,
+        )
+        rgbs_torch = torch.from_numpy(
+            rgbs.astype(np.float32)).permute(0, 3, 1, 2)
+
+        for iters, atol in ((1, 2e-4), (2, 3e-2)):
+            tmodel, tracker = _tiny_full_stack(iters=iters)
+            fmaps = tracker._encode_video(rgbs.astype(np.float32))
+            ref_traj, ref_vis = tmodel(
+                rgbs_torch, torch.from_numpy(qp), iters=iters)
+            traj, vis = tracker._track_jit(
+                tracker.params, fmaps, jnp.asarray(qp), t)
+            np.testing.assert_allclose(
+                np.asarray(traj), ref_traj.numpy(), rtol=0, atol=atol)
+            np.testing.assert_allclose(
+                np.asarray(vis), ref_vis.numpy(), rtol=0, atol=atol)
+
+    def test_wrapper_backward_merge_matches_torch(self, rng):
+        """Full reference-wrapper path: support grids every 6 frames,
+        forward + backward passes, zero-fill merge, support-point drop,
+        visibility threshold, coordinate rescale."""
+        tmodel, tracker = _tiny_full_stack(iters=1)
+        tracker.interp_shape = None
+        tracker.support_grid_size = 2
+        tracker.support_grid_every_n_frames = 6
+        tracker.visibility_threshold = 0.7
+
+        t, h, w = 13, 64, 64
+        rgbs = rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
+        qp = np.array(
+            [[0, 18.0, 12.0], [4, 44.0, 52.0], [6, 34.0, 19.0]], np.float32)
+
+        ref_traj, ref_vis = torch_reference_wrapper_forward(
+            tmodel, rgbs, qp, (h, w), support_grid_size=2, every_n=6,
+            vis_threshold=0.7, iters=1)
+        traj, vis = tracker.forward(rgbs[None], qp[None])
+
+        np.testing.assert_allclose(
+            traj[0], ref_traj.numpy(), rtol=0, atol=2e-4)
+        np.testing.assert_array_equal(
+            vis[0].astype(bool), ref_vis.numpy())
     def test_full_window_forward_matches_torch(self, rng):
         """Full v1 forward_iteration (token assembly + refinement loop +
         heads) vs the torch transcription, through the converter."""
