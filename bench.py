@@ -1,7 +1,7 @@
 """Benchmark: video frames/sec/chip for the FULL SAM-PT pipeline.
 
 Measures exactly the driver's north-star configuration (BASELINE.json):
-DAVIS-shaped video through SamPt with the SAM ViT-H encoder + CoTracker
+DAVIS-shaped videos through SamPt with the SAM ViT-H encoder + CoTracker
 (stride 4, window 8), at the reference's DEFAULT point config (16 kmedoids
 positives + 1 mixed negative per mask, configs/model/sam_pt.yaml), including
 host-side query-point sampling, bidirectional tracking, batched SAM prompting
@@ -10,8 +10,17 @@ fusion to index masks, and the uint8 mask download — i.e., everything the
 VOS eval harness times (reference methodology: total_frames /
 total_process_time, sam_pt/vos_eval/eval.py:262-337).
 
+The schedule is heterogeneous and DAVIS-2017-val-shaped: videos of 35/70/100
+frames carrying 1/3/5 objects at 480p (the real split averages ~67 frames and
+1-5 objects per video, mean ~2), so the headline survives shape diversity
+(per-video fixed costs, per-shape programs, cross-video pipelining). FPS =
+total frames / total wall time over the pipelined schedule, median of 3 runs.
+Each distinct (frames, masks) shape is warmed once before timing — on a real
+DAVIS run the persistent compile cache amortizes this identically.
+
 Weights are random (no checkpoints ship with this environment); throughput is
-weight-independent. Prints ONE JSON line.
+weight-independent. Prints ONE JSON line (with the schedule and a serialized
+per-stage split embedded alongside the headline keys).
 """
 from __future__ import annotations
 
@@ -23,6 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 1.4  # reference SAM ViT-H (+PIPS tracker), 1 GPU (BASELINE.md)
+
+# (frames, masks) per video — DAVIS-2017-val-shaped (docs: ~67-frame mean,
+# 1-5 objects). 205 frames total per schedule pass.
+SCHEDULE = [(35, 1), (70, 3), (100, 5)]
 
 
 def random_params(init_shape_fn, seed=1, dtype=jnp.bfloat16):
@@ -82,16 +95,14 @@ def build_pipeline(variant="vit_h"):
     )
 
 
-def bench_full_pipeline(n_frames=16, n_masks=3, h=480, w=854):
-    from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
-
-    sam_pt = build_pipeline()
-
-    rng = np.random.default_rng(0)
+def make_video(n_frames, n_masks, h, w, seed):
+    rng = np.random.default_rng(seed)
     masks = np.zeros((n_masks, h, w), np.float32)
     for i in range(n_masks):
-        masks[i, 40 + 120 * i : 160 + 120 * i, 80 : 460] = 1
-    video = {
+        r0 = 30 + (i * 83) % (h - 150)
+        c0 = 60 + (i * 157) % (w - 420)
+        masks[i, r0: r0 + 110, c0: c0 + 360] = 1
+    return {
         "image": rng.integers(0, 255, size=(n_frames, h, w, 3)).astype(np.uint8),
         "target_hw": (h, w),
         "query_masks": masks,
@@ -99,30 +110,116 @@ def bench_full_pipeline(n_frames=16, n_masks=3, h=480, w=854):
         "keep_logits_on_device": True,
     }
 
-    def dispatch_once():
+
+def bench_full_pipeline(sam_pt=None, h=480, w=854):
+    from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
+
+    if sam_pt is None:
+        sam_pt = build_pipeline()
+
+    videos = [make_video(t, m, h, w, seed=i) for i, (t, m) in enumerate(SCHEDULE)]
+
+    def dispatch_once(video):
         out = sam_pt.forward(video)
+        n_masks = video["query_masks"].shape[0]
         return device_fuse_index_masks(
-            out["logits"], masks, [0] * n_masks, defer=True
+            out["logits"], video["query_masks"], [0] * n_masks, defer=True
         )  # fusion dispatched; uint8 download deferred
 
-    dispatch_once().get()  # compile
+    for v in videos:  # warm every (frames, masks) program once
+        dispatch_once(v).get()
+
     # The eval harness pipelines videos: video i's uint8 download resolves
     # while video i+1 computes (vos_eval/eval.py cross-video pipelining).
-    # Measure the same schedule over a 3-video pipeline; median of 3 runs
-    # (single-run times vary +-15% through the dev tunnel).
-    n_videos = 3
+    # Measure the same schedule; median of 3 runs (single-run times vary
+    # +-15% through the dev tunnel).
+    total_frames = sum(t for t, _ in SCHEDULE)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         pending = None
-        for _ in range(n_videos):
-            nxt = dispatch_once()
+        for v in videos:
+            nxt = dispatch_once(v)
             if pending is not None:
                 pending.get()
             pending = nxt
         pending.get()
         times.append(time.perf_counter() - t0)
-    return n_videos * n_frames / sorted(times)[1]
+    return total_frames / sorted(times)[1]
+
+
+def stage_split(sam_pt=None, n_frames=70, n_masks=3,
+                h=480, w=854, reps=1):
+    """Serialized per-stage seconds for one mid-schedule video.
+
+    Stages overlap in the pipelined headline run, so these sum to MORE than
+    the end-to-end per-video wall time; they attribute, not add up.
+    """
+    from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
+
+    if sam_pt is None:
+        sam_pt = build_pipeline()
+    video = make_video(n_frames, n_masks, h, w, seed=1)
+    images, masks = video["image"], video["query_masks"]
+    timesteps = video["query_point_timestep"]
+
+    def timed(fn):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(time.perf_counter() - t0)
+        return out, sorted(ts)[len(ts) // 2]
+
+    stages = {}
+    qp = sam_pt.extract_query_points(images, masks, timesteps)  # warm
+    qp, stages["query_sampling_host"] = timed(
+        lambda: sam_pt.extract_query_points(images, masks, timesteps))
+
+    def upload():
+        dev = jnp.asarray(images)
+        dev.block_until_ready()
+        return dev
+
+    upload()
+    images_dev, stages["video_upload"] = timed(upload)
+
+    def track():
+        out = sam_pt._track_points(images, qp, images_dev=images_dev)
+        jax.block_until_ready(out)
+        return out
+
+    (trajectories, visibilities) = track()
+    (trajectories, visibilities), stages["tracker"] = timed(track)
+
+    def encode():
+        emb = sam_pt._encode_all_frames(images_dev)
+        jax.block_until_ready(emb)
+        return emb
+
+    encode()
+    emb, stages["sam_encode"] = timed(encode)
+
+    sam_pt._keep_logits_device = True
+
+    def decode():
+        _, logits, _ = sam_pt._apply_sam(
+            images, trajectories, visibilities,
+            embeddings=emb, device_images=images_dev,
+        )
+        jax.block_until_ready(logits)
+        return logits
+
+    decode()
+    logits, stages["sam_decode_chain"] = timed(decode)
+
+    def fuse():
+        return np.asarray(
+            device_fuse_index_masks(logits, masks, [0] * n_masks))
+
+    fuse()
+    _, stages["fusion_download"] = timed(fuse)
+    return {k: round(v, 4) for k, v in stages.items()}
 
 
 def main():
@@ -131,7 +228,9 @@ def main():
     enable_persistent_cache()
 
     try:
-        fps = bench_full_pipeline()
+        sam_pt = build_pipeline()
+        fps = bench_full_pipeline(sam_pt)
+        stages = stage_split(sam_pt)
         print(
             json.dumps(
                 {
@@ -139,6 +238,10 @@ def main():
                     "value": round(float(fps), 3),
                     "unit": "frames/sec/chip",
                     "vs_baseline": round(float(fps) / BASELINE_FPS, 2),
+                    "schedule": [
+                        {"frames": t, "masks": m} for t, m in SCHEDULE
+                    ],
+                    "stages_serialized_70f_3m_s": stages,
                 }
             )
         )

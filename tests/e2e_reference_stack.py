@@ -123,12 +123,16 @@ class TorchSamPredictorStub:
 
     def set_image(self, image: np.ndarray) -> None:
         h, w = image.shape[:2]
-        assert (h, w) == (self.image_size, self.image_size), (
-            "e2e tests use square frames at the model input size so the "
-            "resize step is the identity")
+        assert max(h, w) == self.image_size, (
+            "e2e tests use frames whose longest side equals the model input "
+            "size so the PIL-resize step is the identity; non-square frames "
+            "exercise segment_anything's normalize-then-zero-pad preprocess")
         self.original_size = (h, w)
         self.input_size = (h, w)
-        px = ((image.astype(np.float32) - MEAN) / STD).transpose(2, 0, 1)
+        px = np.zeros((3, self.image_size, self.image_size), np.float32)
+        px[:, :h, :w] = (
+            (image.astype(np.float32) - MEAN) / STD
+        ).transpose(2, 0, 1)
         with torch.no_grad():
             self._features = self.hf.vision_encoder(
                 torch.from_numpy(px[None])

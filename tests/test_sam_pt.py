@@ -314,11 +314,16 @@ class TestDeviceFlow:
 
 
 class TestBlankedLogitsResize:
-    def test_gated_planes_stay_finite_through_target_hw_resize(self, rng):
-        """Pairs gated by sam_iou_threshold get whole-plane sentinel logits;
-        resizing to target_hw must not turn them into NaN (0 * -inf in the
-        matmul resize), which used to poison the multi-object fusion."""
+    def test_gated_planes_stay_neg_inf_through_target_hw_resize(self, rng):
+        """Pairs gated by sam_iou_threshold get whole-plane -inf sentinel
+        logits, and the target_hw resize must keep them cleanly -inf — the
+        reference's exact sentinel (sam_pt/modeling/sam_pt.py gating;
+        its F.interpolate leaves NaN stripes on such planes instead, a
+        documented benign deviation — tests/test_parity_sam_pt_e2e.py) —
+        and the downstream device fusion must still produce pure background
+        without NaN poisoning."""
         from sam_pt_tpu.utils.testing import build_tiny_sam_pt
+        from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
 
         model = build_tiny_sam_pt(sam_iou_threshold=2.0)  # gate EVERYTHING
         t, h, w = 3, 48, 64
@@ -333,6 +338,14 @@ class TestBlankedLogitsResize:
         })
         logits = np.stack(out["logits"])
         assert logits.shape == (2, t, h * 2, w * 2)
-        assert np.isfinite(logits).all()
-        # gated planes must still lose to the zero background channel
-        assert (logits < 0).all()
+        assert np.isneginf(logits).all()
+
+        # -inf planes through fusion: GT overwrite at the query frame,
+        # pure background elsewhere, no NaNs
+        masks_up = masks.repeat(2, axis=1).repeat(2, axis=2)
+        fused = np.asarray(
+            device_fuse_index_masks(logits, masks_up, [0, 0]))
+        assert fused.shape == (t, h * 2, w * 2)
+        np.testing.assert_array_equal(
+            fused[0], (masks_up[0] > 0) * 1 + (masks_up[1] > 0) * 2)
+        assert (fused[1:] == 0).all()

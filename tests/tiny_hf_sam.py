@@ -16,7 +16,7 @@ STD = np.array([58.395, 57.12, 57.375], np.float32)
 IMAGE_SIZE = 64  # tiny model: patch 16 -> grid 4, low-res masks 16x16
 
 
-def build_tiny_hf_and_flax(seed: int = 1):
+def build_tiny_hf_and_flax(seed: int = 1, crop_pad_tokens: bool = False):
     """Returns (hf SamModel, flax Sam, converted flax params)."""
     from transformers import SamConfig, SamModel
     from transformers.models.sam.configuration_sam import (
@@ -68,5 +68,6 @@ def build_tiny_hf_and_flax(seed: int = 1):
         window_size=2,
     ))
     model = Sam(encoder_variant="hf_parity_test", image_size=IMAGE_SIZE,
-                prompt_embed_dim=32, mask_in_chans=4)
+                prompt_embed_dim=32, mask_in_chans=4,
+                crop_pad_tokens=crop_pad_tokens)
     return hf, model, params
