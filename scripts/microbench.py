@@ -9,6 +9,13 @@ upload) are meaningless under CPU contention.
 
 Usage: python scripts/microbench.py [--frames 16] [--masks 3] [--reps 3]
 Prints one JSON line per stage plus the serialized total.
+
+`--roofline [--out ROOFLINE.json]` instead writes the machine-readable
+platform/perf artifact the perf claims are audited against (VERDICT r2
+item 6): measured sustained bf16 matmul TFLOP/s, effective HBM GB/s,
+host->device upload MB/s, the serialized per-stage split for a 70-frame
+3-mask 480p video, and the ViT-H encoder's achieved throughput vs its
+analytic matmul-FLOP floor at the measured sustained rate.
 """
 from __future__ import annotations
 
@@ -34,6 +41,126 @@ def median_time(fn, reps):
     return sorted(ts)[len(ts) // 2]
 
 
+def vit_matmul_flops_per_frame(variant="vit_h", image_size=1024):
+    """Analytic matmul FLOPs for one frame through the SAM ViT encoder at
+    the padded square input (the reference computes the full padded grid;
+    exact-numerics implementations cannot skip pad tokens — see
+    tests/test_pad_crop_deviation.py)."""
+    from sam_pt_tpu.models.sam.image_encoder import VIT_VARIANTS
+
+    cfg = VIT_VARIANTS[variant]
+    d = cfg["embed_dim"]
+    depth = cfg["depth"]
+    window = cfg["window_size"]
+    n_global = len(cfg["global_attn_indexes"])
+    grid = image_size // 16
+    tokens = grid * grid
+
+    per_token_layer = 2 * (3 * d * d + d * d + 8 * d * d)  # qkv, proj, mlp
+    matmuls = depth * tokens * per_token_layer
+
+    padded = -(-grid // window) * window
+    wtokens = padded * padded
+    attn_w = (depth - n_global) * wtokens * 2 * 2 * (window * window) * d
+    attn_g = n_global * tokens * 2 * 2 * tokens * d
+    patch = tokens * 2 * (16 * 16 * 3 * d)
+    neck = tokens * 2 * (d * 256 + 256 * 256 * 9)
+    return float(matmuls + attn_w + attn_g + patch + neck)
+
+
+def roofline(out_path, reps=3):
+    """Measure the platform + pipeline roofline and write machine-readable
+    JSON (ROOFLINE.json at the repo root each round)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    result = {
+        "device": str(dev),
+        "platform": jax.default_backend(),
+        "production_v5e_reference": {
+            "bf16_tflops_peak": 197.0,
+            "hbm_gbps": 819.0,
+            "note": "public v5e litepod chip specs, for context — the dev "
+                    "chip behind the tunnel measures far below these",
+        },
+    }
+
+    # --- host->device upload, BEFORE any large allocations
+    up = np.random.default_rng(0).integers(
+        0, 255, (70, 480, 854, 3)).astype(np.uint8)
+
+    def upload():
+        jax.device_put(up, dev).block_until_ready()
+
+    upload()
+    dt = median_time(upload, reps)
+    result["upload_idle_mbps"] = round(up.nbytes / dt / 1e6, 1)
+
+    # --- sustained bf16 matmul TFLOP/s (chained in scan: no dispatch gaps)
+    n, chain = 4096, 32
+    a = jnp.full((n, n), 0.001, jnp.bfloat16)
+
+    @jax.jit
+    def mm_chain(a):
+        def body(x, _):
+            return x @ a, None
+
+        y, _ = jax.lax.scan(body, a, None, length=chain)
+        return y
+
+    mm_chain(a).block_until_ready()
+    dt = median_time(lambda: mm_chain(a).block_until_ready(), reps)
+    result["matmul_bf16_tflops"] = round(chain * 2 * n ** 3 / dt / 1e12, 1)
+
+    # --- effective HBM GB/s (chained elementwise add: read + write / step)
+    x = jnp.ones((256, 1024, 1024), jnp.bfloat16)  # 512 MB
+
+    @jax.jit
+    def ew_chain(x):
+        def body(y, _):
+            return y + jnp.bfloat16(1.0), None
+
+        y, _ = jax.lax.scan(body, x, None, length=16)
+        return y
+
+    ew_chain(x).block_until_ready()
+    dt = median_time(lambda: ew_chain(x).block_until_ready(), reps)
+    result["hbm_effective_gbps"] = round(16 * 2 * x.nbytes / dt / 1e9, 1)
+    del x
+
+    # --- pipeline stage split (70-frame 3-mask 480p video, bench config)
+    import bench
+
+    sam_pt = bench.build_pipeline()
+    stages = bench.stage_split(sam_pt, reps=reps)
+    result["stages_70f_3m_s"] = stages
+
+    # upload again with the pipeline resident (allocator under pressure —
+    # measured far slower than the idle rate on this runtime)
+    upload()
+    dt = median_time(upload, reps)
+    result["upload_loaded_mbps"] = round(up.nbytes / dt / 1e6, 1)
+
+    # --- encoder achieved-vs-floor
+    flops = vit_matmul_flops_per_frame("vit_h")
+    enc_s_per_frame = stages["sam_encode"] / 70.0
+    sustained = result["matmul_bf16_tflops"] * 1e12
+    result["encoder_vit_h"] = {
+        "matmul_flops_per_frame": flops,
+        "measured_ms_per_frame": round(1000 * enc_s_per_frame, 2),
+        "achieved_tflops": round(flops / enc_s_per_frame / 1e12, 1),
+        "floor_ms_at_sustained_matmul": round(1000 * flops / sustained, 2),
+        "pct_of_sustained_matmul": round(
+            100 * (flops / sustained) / enc_s_per_frame, 1),
+    }
+
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    print(f"wrote {out_path}")
+
+
 def main():
     from sam_pt_tpu.utils.cache import enable_persistent_cache
 
@@ -44,7 +171,14 @@ def main():
     ap.add_argument("--masks", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 854))
+    ap.add_argument("--roofline", action="store_true",
+                    help="write the machine-readable platform/perf artifact")
+    ap.add_argument("--out", default="ROOFLINE.json")
     args = ap.parse_args()
+
+    if args.roofline:
+        roofline(args.out, reps=args.reps)
+        return
 
     import bench
 
