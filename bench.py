@@ -131,11 +131,12 @@ def bench_full_pipeline(sam_pt=None, h=480, w=854):
 
     # The eval harness pipelines videos: video i's uint8 download resolves
     # while video i+1 computes (vos_eval/eval.py cross-video pipelining).
-    # Measure the same schedule; median of 3 runs (single-run times vary
-    # +-15% through the dev tunnel).
+    # Measure the same schedule; median of 5 runs (the tunnel's transfer
+    # path has a slow mode that can double a single schedule pass, measured
+    # 23-46 s for identical work — the median rides it out).
     total_frames = sum(t for t, _ in SCHEDULE)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         pending = None
         for v in videos:

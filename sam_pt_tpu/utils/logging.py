@@ -44,6 +44,13 @@ class RunLogger:
                            or os.environ.get("WANDB_PROJECT", "sam-pt-tpu"),
                            entity=wandb_cfg.get("entity"),
                            name=exp_id, config=config or {})
+                try:
+                    if wandb_cfg.get("log_code", True) and wandb.run:
+                        # reference uploads the run's code as a wandb
+                        # artifact (sam_pt/vos_eval/eval.py:49 log_code("."))
+                        wandb.run.log_code(wandb_cfg.get("log_code_root", "."))
+                except Exception:
+                    pass  # code upload is best-effort, never fatal
             except Exception:
                 self._wandb = None
         if config:

@@ -111,11 +111,16 @@ def softmax_fuse(logits: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _fuse_chunk_jit(chunk_logits, frame_ids, args, _chunk):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _fuse_chunk_jit(chunk_logits, frame_ids, args, _chunk, pack):
     """One frame-chunk of device-side fusion (module-level jit: defining
     this inside device_fuse_index_masks gave every call a FRESH jit cache,
-    recompiling through the remote-compile tunnel per video — ~1 s/call)."""
+    recompiling through the remote-compile tunnel per video — ~1 s/call).
+
+    With pack=True (<= 15 objects) the index mask is nibble-packed along W
+    on device — two pixels per byte, losslessly halving the download
+    through the slow remote transfer path (~20-40 MB/s once large buffers
+    are resident; see ROOFLINE.json)."""
     gt, ts = args
     big = jnp.float16(60000.0)
     # suppress masks before their query frame
@@ -127,7 +132,13 @@ def _fuse_chunk_jit(chunk_logits, frame_ids, args, _chunk):
     x = jnp.where(at_query[..., None, None], gt_val, x)
     bg = jnp.zeros((1,) + x.shape[1:], x.dtype)
     stacked = jnp.concatenate([bg, x], axis=0)  # [1+M, F, h, w]
-    return jnp.argmax(stacked, axis=0).astype(jnp.uint8)  # [F, h, w]
+    idx = jnp.argmax(stacked, axis=0).astype(jnp.uint8)  # [F, h, w]
+    if pack:
+        w = idx.shape[-1]
+        if w % 2:
+            idx = jnp.pad(idx, ((0, 0), (0, 0), (0, 1)))
+        return idx[..., 0::2] | (idx[..., 1::2] << 4)
+    return idx
 
 
 class PendingIndexMasks:
@@ -138,14 +149,22 @@ class PendingIndexMasks:
     overlap video i's mask download (slow through remote-attached runtimes)
     with video i+1's compute dispatch."""
 
-    def __init__(self, chunks, t, h, w):
+    def __init__(self, chunks, t, h, w, packed=False):
         self._chunks = chunks  # list of (device_masks, start, end)
         self._t, self._h, self._w = t, h, w
+        self._packed = packed
 
     def get(self) -> np.ndarray:
         out = np.zeros((self._t, self._h, self._w), np.uint8)
         for masks, i, end in self._chunks:
-            out[i:end] = np.asarray(masks)[: end - i]
+            got = np.asarray(masks)[: end - i]
+            if self._packed:  # two pixels per byte along W
+                unpacked = np.empty(
+                    (got.shape[0], got.shape[1], 2 * got.shape[2]), np.uint8)
+                unpacked[..., 0::2] = got & 0x0F
+                unpacked[..., 1::2] = got >> 4
+                got = unpacked[..., : self._w]
+            out[i:end] = got
         self._chunks = []
         return out
 
@@ -171,6 +190,7 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16,
     ts_dev = jnp.asarray(np.asarray(gt_ts, np.int32))
     fuse = _fuse_chunk_jit
 
+    pack = m <= 15  # nibble packing is lossless only for labels <= 15
     chunks = []
     for i in range(0, t, frame_chunk):
         end = min(i + frame_chunk, t)
@@ -180,9 +200,10 @@ def device_fuse_index_masks(logits_dev, gt_masks, gt_ts, frame_chunk=16,
         )
         chunk = logits_dev[:, jnp.asarray(np.concatenate(
             [np.arange(i, end), np.full(pad, i)]))]
-        chunks.append((fuse(chunk, frame_ids, (gt_dev, ts_dev), frame_chunk),
+        chunks.append((fuse(chunk, frame_ids, (gt_dev, ts_dev), frame_chunk,
+                            pack),
                        i, end))
-    pending = PendingIndexMasks(chunks, t, h, w)
+    pending = PendingIndexMasks(chunks, t, h, w, packed=pack)
     return pending if defer else pending.get()
 
 
@@ -261,6 +282,18 @@ def evaluate(cfg) -> Dict:
     enable_persistent_cache()
 
     seed_all(cfg.get("seed", 72))
+
+    if cfg.get("output_timestamped", False):
+        # opt-in analogue of the reference's Hydra job-chdir run dirs
+        # (configs/vos_eval_root.yaml:48-55: outputs/${exp_id_verbose} with
+        # a %Y.%m.%d_%H.%M.%S suffix). Default OFF: stable output paths are
+        # what resume-by-skip keys on.
+        cfg = dict(cfg)
+        cfg["output"] = (
+            f"{cfg['output']}_{cfg.get('dataset', '')}_"
+            f"{cfg.get('split', '')}_{cfg.get('seed', 72)}_"
+            f"{time.strftime('%Y.%m.%d_%H.%M.%S')}"
+        )
 
     meta_dataset = build_dataset(cfg)
     out_path = cfg["output"]

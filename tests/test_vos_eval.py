@@ -399,3 +399,25 @@ class TestDeviceFusionParity:
         host = softmax_fuse(host_logits).argmax(axis=1).astype(np.uint8)
 
         np.testing.assert_array_equal(np.asarray(dev), host)
+
+    def test_fusion_packed_odd_width_and_many_objects(self, rng):
+        """Nibble packing round-trips at odd W; >15 objects disables it."""
+        import jax.numpy as jnp
+
+        from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
+
+        t, h, w = 3, 8, 31  # odd width exercises the pad-then-strip path
+        for m in (3, 17):   # 17 objects: labels >15 don't fit a nibble
+            logits = (rng.standard_normal((m, t, h, w)) * 4).astype(
+                np.float16)
+            gt = (rng.uniform(size=(m, h, w)) > 0.5).astype(np.float32)
+            gt_ts = [0] * m
+
+            dev = np.asarray(device_fuse_index_masks(
+                jnp.asarray(logits), gt, gt_ts, frame_chunk=2))
+            ref = np.asarray(device_fuse_index_masks(
+                jnp.asarray(logits.astype(np.float32)).astype(jnp.float16),
+                gt, gt_ts, frame_chunk=t + 1))  # single chunk, same labels
+            assert dev.shape == (t, h, w)
+            assert dev.max() <= m
+            np.testing.assert_array_equal(dev, ref)
