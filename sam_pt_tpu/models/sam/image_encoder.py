@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+from ...ops.fast_ln import FastLayerNorm, fast_gelu
+
 # Canonical SAM encoder variants (embed_dim, depth, num_heads, global_attn_layers)
 VIT_VARIANTS = {
     "vit_b": dict(embed_dim=768, depth=12, num_heads=12,
@@ -37,6 +39,39 @@ VIT_VARIANTS = {
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16,
                   global_attn_indexes=(7, 15, 23, 31)),
 }
+
+
+class PatchEmbed(nn.Module):
+    """16x16/stride-16 patch embedding as an explicit reshape + matmul.
+
+    Param tree is identical to the `nn.Conv(name="patch_embed")` it replaces
+    (kernel [p, p, C, D], bias [D]) so converters and checkpoints are
+    untouched. Non-overlapping stride-p patches make the convolution an
+    exact block reshape followed by one [B*G*G, p*p*C] x [p*p*C, D] matmul —
+    XLA's conv_general_dilated lowering for this shape measured ~7x slower
+    than the plain matmul on the encode trace (3.4 ms vs ~0.5 ms per
+    4-frame chunk)."""
+
+    embed_dim: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        gh, gw = h // p, w // p
+        x = x.astype(self.dtype)
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh, gw, p * p * c)
+        wmat = kernel.astype(self.dtype).reshape(p * p * c, self.embed_dim)
+        return x @ wmat + bias.astype(self.dtype)
 
 
 class LayerNorm2d(nn.Module):
@@ -148,7 +183,15 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
+        # 3D input = token-flat window batch [B*nWin, win*win, C] (span
+        # mode); output stays flat. 4D input = [B, H, W, C] grid.
+        flat_in = x.ndim == 3
+        if flat_in:
+            b, n, c = x.shape
+            h = w = int(round(n ** 0.5))
+            assert h * w == n, (n, "flat attention input must be square")
+        else:
+            b, h, w, c = x.shape
         head_dim = c // self.num_heads
         hdp = self.padded_head_dim or head_dim
         scale = head_dim ** -0.5  # scale always uses the REAL head dim
@@ -199,7 +242,8 @@ class Attention(nn.Module):
                 qkv, rh.astype(qkv.dtype), rw.astype(qkv.dtype),
                 scale=scale, heads=self.num_heads,
             )  # [BW, N, H*hdp]
-            out = out.reshape(b, h, w, self.num_heads * hdp)
+            if not flat_in:
+                out = out.reshape(b, h, w, self.num_heads * hdp)
         elif use_fused and hdp % 128 == 0:
             from ...ops.flash_attention import fused_qkv_relpos_attention
 
@@ -209,7 +253,8 @@ class Attention(nn.Module):
                 qkv, rh.astype(qkv.dtype), rw.astype(qkv.dtype),
                 scale=scale, kh=h, kw=w, heads=self.num_heads,
             )  # [B, N, H*hdp]
-            out = out.reshape(b, h, w, self.num_heads * hdp)
+            if not flat_in:
+                out = out.reshape(b, h, w, self.num_heads * hdp)
         elif use_fused:
             # lane-unaligned head dim (direct Attention use without padded
             # converted weights): older augmented-matmul kernel, pads at
@@ -233,7 +278,9 @@ class Attention(nn.Module):
             )
             out = out.reshape(b, self.num_heads, h * w, hdp)
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
-                b, h, w, self.num_heads * hdp)
+                b, h * w, self.num_heads * hdp)
+            if not flat_in:
+                out = out.reshape(b, h, w, self.num_heads * hdp)
         else:
             qkv = qkv.reshape(b, h * w, 3, self.num_heads, hdp)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(
@@ -263,12 +310,23 @@ class Attention(nn.Module):
             out = attn @ v
             out = out.reshape(b, self.num_heads, h * w, hdp)
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
-                b, h, w, self.num_heads * hdp)
+                b, h * w, self.num_heads * hdp)
+            if not flat_in:
+                out = out.reshape(b, h, w, self.num_heads * hdp)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 
-def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
-    """[B, H, W, C] -> [B * nWin, win, win, C] with zero padding; returns padded HW."""
+def window_partition(
+    x: jnp.ndarray, window: int, flat: bool = False
+) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """[B, H, W, C] -> [B * nWin, win, win, C] with zero padding; returns padded HW.
+
+    `flat=True` returns [B * nWin, win*win, C] instead (span mode): keeping
+    the residual stream token-flat across a span avoids a per-block relayout
+    copy — the (win, win) minor dims tile as (8, 128) with win=14 padded to
+    16 sublanes, so every [.., 14, 14, C] -> [.., 196, C] reshape at the qkv
+    projection was a real 0.5 ms copy per block on the encode trace.
+    """
     b, h, w, c = x.shape
     pad_h = (window - h % window) % window
     pad_w = (window - w % window) % window
@@ -276,14 +334,18 @@ def window_partition(x: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, Tuple[in
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     hp, wp = h + pad_h, w + pad_w
     x = x.reshape(b, hp // window, window, wp // window, window, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window, window, c)
-    return x, (hp, wp)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    if flat:
+        return x.reshape(-1, window * window, c), (hp, wp)
+    return x.reshape(-1, window, window, c), (hp, wp)
 
 
 def _window_pad_mask(
-    batch: int, hw: Tuple[int, int], padded_hw: Tuple[int, int], window: int
+    batch: int, hw: Tuple[int, int], padded_hw: Tuple[int, int], window: int,
+    flat: bool = False,
 ) -> Optional[jnp.ndarray]:
-    """[B*nWin, win, win, 1] constant: 1 on real tokens, 0 on padding slots.
+    """[B*nWin, win, win, 1] constant: 1 on real tokens, 0 on padding slots
+    ([B*nWin, win*win, 1] when `flat`).
 
     None when the grid divides evenly (no padding). Built in numpy at trace
     time, so XLA constant-folds it and fuses the masking multiply.
@@ -296,13 +358,16 @@ def _window_pad_mask(
     real[:h, :w] = 1.0
     m = real.reshape(hp // window, window, wp // window, window)
     m = m.transpose(0, 2, 1, 3).reshape(-1, window, window, 1)
-    return jnp.asarray(np.tile(m, (batch, 1, 1, 1)))
+    m = np.tile(m, (batch, 1, 1, 1))
+    if flat:
+        m = m.reshape(-1, window * window, 1)
+    return jnp.asarray(m)
 
 
 def window_unpartition(
     x: jnp.ndarray, window: int, padded_hw: Tuple[int, int], hw: Tuple[int, int]
 ) -> jnp.ndarray:
-    """Inverse of window_partition, cropping padding."""
+    """Inverse of window_partition (4D or flat 3D input), cropping padding."""
     hp, wp = padded_hw
     h, w = hw
     b = x.shape[0] // ((hp // window) * (wp // window))
@@ -345,7 +410,7 @@ class Block(nn.Module):
     ) -> jnp.ndarray:
         c = x.shape[-1]
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
+        x = FastLayerNorm(epsilon=1e-6, name="norm1", dtype=self.dtype)(x)
 
         if self.window_size > 0 and not self.pre_windowed:
             hw = (x.shape[1], x.shape[2])
@@ -374,9 +439,9 @@ class Block(nn.Module):
             x = window_unpartition(x, self.window_size, padded_hw, hw)
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
+        y = FastLayerNorm(epsilon=1e-6, name="norm2", dtype=self.dtype)(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp_lin1", dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y, self.dtype)
         y = nn.Dense(c, name="mlp_lin2", dtype=self.dtype)(y)
         return x + y
 
@@ -425,10 +490,9 @@ class ImageEncoderViT(nn.Module):
         against trained weights, hence opt-in (Sam.crop_pad_tokens).
         """
         grid = self.img_size // self.patch_size
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
+        x = PatchEmbed(
+            embed_dim=self.embed_dim,
+            patch_size=self.patch_size,
             name="patch_embed",
             dtype=self.dtype,
         )(x)
@@ -489,11 +553,11 @@ class ImageEncoderViT(nn.Module):
             ):
                 span_end += 1
             hw = (x.shape[1], x.shape[2])
-            x, padded_hw = window_partition(x, self.window_size)
+            x, padded_hw = window_partition(x, self.window_size, flat=True)
             pad_mask = _window_pad_mask(
                 x.shape[0] // ((padded_hw[0] // self.window_size)
                               * (padded_hw[1] // self.window_size)),
-                hw, padded_hw, self.window_size,
+                hw, padded_hw, self.window_size, flat=True,
             )
             for j in range(i, span_end):
                 x = Block(

@@ -22,6 +22,8 @@ from typing import Any, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from ...ops.fast_ln import fast_gelu
 import numpy as np
 
 from .image_encoder import LayerNorm2d
@@ -61,12 +63,12 @@ class MBConv(nn.Module):
     def __call__(self, x):
         hidden = int(x.shape[-1] * self.expand_ratio)
         y = ConvBN(hidden, name="conv1", dtype=self.dtype)(x)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y, self.dtype)
         y = ConvBN(hidden, (3, 3), padding=1, groups=hidden, name="conv2",
                    dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y, self.dtype)
         y = ConvBN(self.features, name="conv3", dtype=self.dtype)(y)
-        return nn.gelu(x + y, approximate=False)
+        return fast_gelu(x + y, self.dtype)
 
 
 class PatchMerging(nn.Module):
@@ -80,10 +82,10 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         stride = 1 if self.out_dim in (320, 448, 576) else 2
         y = ConvBN(self.out_dim, name="conv1", dtype=self.dtype)(x)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y, self.dtype)
         y = ConvBN(self.out_dim, (3, 3), strides=(stride, stride), padding=1,
                    groups=self.out_dim, name="conv2", dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y, self.dtype)
         return ConvBN(self.out_dim, name="conv3", dtype=self.dtype)(y)
 
 
@@ -186,7 +188,7 @@ class TinyViTBlock(nn.Module):
         y = nn.LayerNorm(name="mlp_norm", dtype=self.dtype)(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1",
                      dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)
+        y = fast_gelu(y, self.dtype)
         y = nn.Dense(c, name="mlp_fc2", dtype=self.dtype)(y)
         return shortcut + y
 
@@ -212,7 +214,7 @@ class TinyViT(nn.Module):
         # stem: two stride-2 ConvBN+GELU -> /4
         x = ConvBN(self.embed_dims[0] // 2, (3, 3), strides=(2, 2), padding=1,
                    name="patch_embed_conv1", dtype=d)(x)
-        x = nn.gelu(x, approximate=False)
+        x = fast_gelu(x, self.dtype)
         x = ConvBN(self.embed_dims[0], (3, 3), strides=(2, 2), padding=1,
                    name="patch_embed_conv2", dtype=d)(x)
 
