@@ -51,7 +51,7 @@ def vit_matmul_flops_per_frame(variant="vit_h", image_size=1024):
     cfg = VIT_VARIANTS[variant]
     d = cfg["embed_dim"]
     depth = cfg["depth"]
-    window = cfg["window_size"]
+    window = cfg.get("window_size", 14)  # ImageEncoderViT default
     n_global = len(cfg["global_attn_indexes"])
     grid = image_size // 16
     tokens = grid * grid
@@ -97,8 +97,16 @@ def roofline(out_path, reps=3):
     dt = median_time(upload, reps)
     result["upload_idle_mbps"] = round(up.nbytes / dt / 1e6, 1)
 
+    # NB: on the remote-attached runtime `block_until_ready` does NOT wait
+    # for device completion — sync by fetching one result element to host.
+    # The fetch costs one round trip (~25 ms); measure it and subtract.
+    tiny = jnp.zeros((), jnp.float32)
+    np.asarray(tiny + 1)
+    rtt = median_time(lambda: np.asarray(tiny + 1), max(reps, 5))
+    result["sync_fetch_rtt_ms"] = round(1000 * rtt, 1)
+
     # --- sustained bf16 matmul TFLOP/s (chained in scan: no dispatch gaps)
-    n, chain = 4096, 32
+    n, chain = 4096, 256
     a = jnp.full((n, n), 0.001, jnp.bfloat16)
 
     @jax.jit
@@ -107,26 +115,27 @@ def roofline(out_path, reps=3):
             return x @ a, None
 
         y, _ = jax.lax.scan(body, a, None, length=chain)
-        return y
+        return y[0, 0]
 
-    mm_chain(a).block_until_ready()
-    dt = median_time(lambda: mm_chain(a).block_until_ready(), reps)
+    np.asarray(mm_chain(a))
+    dt = median_time(lambda: np.asarray(mm_chain(a)), reps) - rtt
     result["matmul_bf16_tflops"] = round(chain * 2 * n ** 3 / dt / 1e12, 1)
 
     # --- effective HBM GB/s (chained elementwise add: read + write / step)
     x = jnp.ones((256, 1024, 1024), jnp.bfloat16)  # 512 MB
+    ew_len = 64
 
     @jax.jit
     def ew_chain(x):
         def body(y, _):
             return y + jnp.bfloat16(1.0), None
 
-        y, _ = jax.lax.scan(body, x, None, length=16)
-        return y
+        y, _ = jax.lax.scan(body, x, None, length=ew_len)
+        return y[0, 0, 0]
 
-    ew_chain(x).block_until_ready()
-    dt = median_time(lambda: ew_chain(x).block_until_ready(), reps)
-    result["hbm_effective_gbps"] = round(16 * 2 * x.nbytes / dt / 1e9, 1)
+    np.asarray(ew_chain(x))
+    dt = median_time(lambda: np.asarray(ew_chain(x)), reps) - rtt
+    result["hbm_effective_gbps"] = round(ew_len * 2 * x.nbytes / dt / 1e9, 1)
     del x
 
     # --- pipeline stage split (70-frame 3-mask 480p video, bench config)
