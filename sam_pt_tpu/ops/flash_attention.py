@@ -183,50 +183,25 @@ def fused_relpos_attention(
     return out.reshape(b, n, dp)[..., :d]
 
 
-def _qkv_relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, oh_ref, o_ref, *,
-                       scale, kw):
-    """One (frame, head, q-tile) step: logits live only in VMEM and the
-    rel-pos bias is computed here from the raw tables.
+def _qkv_relpos_kernel(q_ref, k_ref, v_ref, b_ref, oh_ref, o_ref, *, scale):
+    """One (frame, head, q-tile) step: logits live only in VMEM.
 
-    Mosaic constraints shape the formulation: batched `dot_general` needs
-    lhs/rhs batch dims at the SAME index, lane-splitting reshapes
-    ([TQ, N] -> [rows, kw, kh, kw]) don't lower, and leading-dim transposes
-    are unreliable. So the per-row bias tables are built with 2D/bat-0 dots
-    (static unroll over the few rows in a q tile), and the bias ADD rides
-    the main logits matmul as channel augmentation: q gains its [KH]+[KW]
-    bias rows, k gains a static one-hot (y, x) block, and one MXU matmul
-    produces q.k + bias_h[yk] + bias_w[xk]."""
+    The decomposed rel-pos bias arrives PRECOMPUTED per query token
+    (b_ref: [TQ, KH+KW(padded)] = q . Rh rows concat q . Rw rows — two tiny
+    well-shaped einsums at the XLA level), and the bias ADD rides the main
+    logits matmul as channel augmentation: q gains its bias columns, k gains
+    a static one-hot (y, x) block, and one MXU matmul produces
+    q.k*scale + bias_h[yk] + bias_w[xk]. (The previous in-kernel bias
+    construction ran `rows` batched mat-vec dots per step at ~2% MXU row
+    utilization — ~40% of the kernel's time at ViT-H shapes.)"""
     q = q_ref[0]  # [TQ, Dp]
     k = k_ref[0]  # [N, Dp]
     v = v_ref[0]  # [N, Dp]
-    rh = rh_ref[...]  # [rows, KH, Dp]
-    rw = rw_ref[...]  # [KW, KW, Dp]
-    oh = oh_ref[...]  # [N, KH+KW] static one-hot(y), one-hot(x)
-    tq = q.shape[0]
-    rows = tq // kw
+    bias = b_ref[0]  # [TQ, BP]
+    oh = oh_ref[...]  # [N, BP] static one-hot(y), one-hot(x), zero pad cols
 
-    # bias_h[r*kw + wq, yk] = q[r*kw + wq] . rh[r, yk]
-    # bias_w[r*kw + wq, xk] = q[r*kw + wq] . rw[wq, xk]
-    bh, bw = [], []
-    for r in range(rows):
-        q_r = q[r * kw:(r + 1) * kw, :]  # [KW, Dp]
-        bh.append(jax.lax.dot_general(
-            q_r, rh[r], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))  # [KW, KH]
-        bw_r = jax.lax.dot_general(
-            q_r[:, None, :], rw, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [KW, 1, KW], batch dims at index 0 on both sides
-        bw.append(bw_r.reshape(kw, kw))
-    bias = jnp.concatenate(
-        [jnp.concatenate(bh, 0), jnp.concatenate(bw, 0)], 1
-    )  # [TQ, KH+KW]
-
-    q_aug = jnp.concatenate(
-        [(q * scale).astype(q.dtype), bias.astype(q.dtype)], 1
-    )  # [TQ, Dp+KH+KW]
-    k_aug = jnp.concatenate([k, oh.astype(k.dtype)], 1)  # [N, Dp+KH+KW]
+    q_aug = jnp.concatenate([(q * scale).astype(q.dtype), bias], 1)
+    k_aug = jnp.concatenate([k, oh], 1)  # [N, Dp+BP]
     logits = jax.lax.dot_general(
         q_aug, k_aug, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -273,25 +248,41 @@ def fused_qkv_relpos_attention(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
-    # q-tile = (rows of the key grid) x kw: take the largest row count g
-    # dividing kh with kw*g <= q_tile, falling back to one row when kw
-    # alone exceeds q_tile. (The previous power-of-two halving reached 0
-    # and divided by it when kw divides no halved tile — e.g. rectangular
-    # cropped global grids with kw=36.)
-    g_max = max(1, q_tile // kw)
-    rows = max(d for d in range(1, kh + 1) if kh % d == 0 and d <= g_max)
-    tq = kw * rows
+    # q-tile: largest divisor of n within the budget (no kw-multiple
+    # constraint — the bias is precomputed per token, not per grid row).
+    tq = max(d for d in range(1, min(q_tile, n) + 1) if n % d == 0)
+
+    # Per-token decomposed bias, computed at the XLA level as two batched
+    # einsums (batch = grid row/col, contraction = head dim — clean MXU
+    # shapes; ~34 GFLOP at ViT-H vs the kernel's old per-step mat-vecs):
+    # bias[b, (y,x), h, :] = [q . Rh[y], q . Rw[x]], padded to a
+    # 128-multiple so per-head HBM blocks tile.
+    q4 = qkv[..., :heads * dp].reshape(b, kh, kw, heads, dp)
+    bias_h = jnp.einsum(
+        "byxhd,ykd->byxhk", q4, rel_pos_h.astype(q4.dtype),
+        preferred_element_type=jnp.float32,
+    )  # [B, kh, kw, H, kh]
+    bias_w = jnp.einsum(
+        "byxhd,xkd->byxhk", q4, rel_pos_w.astype(q4.dtype),
+        preferred_element_type=jnp.float32,
+    )  # [B, kh, kw, H, kw]
+    bp = -(-(kh + kw) // 128) * 128
+    bias = jnp.concatenate([bias_h, bias_w], -1).astype(qkv.dtype)
+    if bp > kh + kw:
+        bias = jnp.pad(
+            bias, ((0, 0),) * 4 + ((0, bp - kh - kw),))
+    bias = bias.reshape(b, n, heads * bp)
 
     # Static augmentation one-hot: key token y*kw + x contributes
     # bias_h[., y] + bias_w[., x] to its logit via the augmented matmul.
     idx = np.arange(n)
-    oh = np.zeros((n, kh + kw), np.float32)
+    oh = np.zeros((n, bp), np.float32)
     oh[idx, idx // kw] = 1.0
     oh[idx, kh + idx % kw] = 1.0
     oh = jnp.asarray(oh, qkv.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_qkv_relpos_kernel, scale=scale, kw=kw),
+        functools.partial(_qkv_relpos_kernel, scale=scale),
         grid=(b, heads, n // tq),
         in_specs=[
             pl.BlockSpec((1, tq, dp),
@@ -303,13 +294,10 @@ def fused_qkv_relpos_attention(
             pl.BlockSpec((1, n, dp),
                          lambda bi, hi, qi: (bi, 0, 2 * heads + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, kh, dp),
-                         lambda bi, hi, qi: (qi, 0, 0),
+            pl.BlockSpec((1, tq, bp),
+                         lambda bi, hi, qi: (bi, qi, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kw, kw, dp),
-                         lambda bi, hi, qi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, kh + kw),
+            pl.BlockSpec((n, bp),
                          lambda bi, hi, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -318,32 +306,24 @@ def fused_qkv_relpos_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, heads * dp), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv, rel_pos_h, rel_pos_w, oh)
+    )(qkv, qkv, qkv, bias, oh)
     return out
 
 
-def _qkv_window_kernel(q_ref, k_ref, v_ref, wb_ref, sel_ref, ohk_ref, o_ref,
-                       *, scale, group):
-    """`group` windows × one head per grid step, entirely in VMEM.
+def _qkv_window_kernel(q_ref, k_ref, v_ref, b_ref, oh_ref, o_ref,
+                       *, scale, group, dp):
+    """`group` windows × a head block per grid step, entirely in VMEM.
 
-    Decomposed rel-pos bias via compact matmuls + static masks. The naive
-    per-window bias dot is N batched mat-vecs ([G, Dp] x [Dp, N] per token)
-    — ~2% MXU row utilization and 3/4 of the kernel's time. Instead:
-
-        ab[i, y*W + yk]   = q_i . rh[y, yk]          (ALL rows y at once)
-        ab               *= sel  (static: keep y == y_i block)
-        bias[i, j]        = ab @ ohk  (static one-hot: yk == y_j)
-
-    Both matmuls are well shaped ([N, Dp] x [Dp, 2W²] and [N, 2W²] x
-    [2W², N]) — ~2.7x fewer MXU tile-ops than the batched mat-vec, and the
-    10 MB [N, N, Dp] full table is gone from VMEM (tables here are ~0.5 MB).
-    The masked ab is cast to the input dtype before the expansion matmul:
-    one extra bf16 rounding of the final bias value, inside the noise of the
-    bf16 q/k inputs themselves (f32 runs are unaffected — no-op cast)."""
-    wb = wb_ref[...]   # [Dp, 2*W*W]
-    sel = sel_ref[...]  # [N, 2*W*W] f32 0/1
-    ohk = ohk_ref[...]  # [2*W*W, N] input dtype 0/1
-    dp = wb.shape[0]
+    The decomposed rel-pos bias arrives PRECOMPUTED per (window, token,
+    head) — two tiny XLA einsums against the resolved tables — and rides
+    the single logits matmul as channel augmentation (q gains its 2W bias
+    columns, k gains a static one-hot (y, x) block). The previous in-kernel
+    construction spent two extra matmuls per (window, head) on bias
+    assembly (~68 of ~88 GFLOP at ViT-H shapes); the augmentation lanes
+    here are FREE on the MXU: contraction dim 80+32 pads to the same
+    128-lane tile the bare head dim already occupied."""
+    oh = oh_ref[...]  # [N, BP] static one-hot(y), one-hot(x), zero pads
+    bp = oh.shape[-1]
     hh = q_ref.shape[-1] // dp  # heads handled per grid step
 
     # Per-head lane slices at dp offsets. dp need NOT be 128-aligned:
@@ -353,25 +333,19 @@ def _qkv_window_kernel(q_ref, k_ref, v_ref, wb_ref, sel_ref, ohk_ref, o_ref,
     # is a group of `hh` heads sized to a 128-lane multiple.
     for h in range(hh):  # static unroll
         sl = slice(h * dp, (h + 1) * dp)
+        bl = slice(h * bp, (h + 1) * bp)
         for g in range(group):
             q = q_ref[g, :, sl]  # [N, Dp]
             k = k_ref[g, :, sl]
             v = v_ref[g, :, sl]
+            bias = b_ref[g, :, bl]  # [N, BP]
 
-            ab = jax.lax.dot_general(
-                q, wb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [N, 2W²]
-            ab = (ab * sel).astype(q.dtype)
-            bias = jax.lax.dot_general(
-                ab, ohk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [N, N]
-
+            q_aug = jnp.concatenate([(q * scale).astype(q.dtype), bias], 1)
+            k_aug = jnp.concatenate([k, oh], 1)  # [N, Dp+BP]
             logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                q_aug, k_aug, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale + bias
+            )  # [N, N] = q.k*scale + bias_h[yk] + bias_w[xk]
 
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
@@ -401,8 +375,8 @@ def fused_qkv_window_attention(
     logits and softmax stay in VMEM.
     rel_h, rel_w: [W, W, Dp] resolved rel-pos tables for the window
     (rel_h[y_q, y_k] = Rh row); the bias q_i . (rel_h[y_i, y_j] +
-    rel_w[x_i, x_j]) is computed in-kernel via compact matmuls against
-    static selection/one-hot masks (see `_qkv_window_kernel`).
+    rel_w[x_i, x_j]) is precomputed per token by two XLA einsums and rides
+    the logits matmul as channel augmentation (see `_qkv_window_kernel`).
     Returns [BW, N, H*Dp].
     """
     bw, n, chans = qkv.shape
@@ -421,39 +395,53 @@ def fused_qkv_window_attention(
     hb = 128 // np.gcd(dp, 128)
     assert heads % hb == 0, (heads, dp)
 
+    # Per-head bias width: 2*win columns, padded so hb heads tile to a
+    # 128-lane multiple (32 at ViT-H: hb=8 -> 16-lane unit, 2*14=28 -> 32).
+    bp_unit = 128 // hb
+    bp = -(-2 * win // bp_unit) * bp_unit
+
+    ys = np.arange(n) // win
+    xs = np.arange(n) % win
+
+    # Precomputed decomposed bias: bias[w, i, h, :] = [q . rel_h[y_i],
+    # q . rel_w[x_i]] — two einsums batched over the token index (tiny:
+    # ~1.4 GFLOP at ViT-H vs the ~68 GFLOP the in-kernel assembly cost).
+    q4 = qkv[..., :heads * dp].reshape(bw, n, heads, dp)
+    rh_tok = rel_h[jnp.asarray(ys)]  # [N, W, Dp]
+    rw_tok = rel_w[jnp.asarray(xs)]
+    bias_h = jnp.einsum(
+        "bnhd,nkd->bnhk", q4, rh_tok.astype(q4.dtype),
+        preferred_element_type=jnp.float32,
+    )  # [BW, N, H, W]
+    bias_w = jnp.einsum(
+        "bnhd,nkd->bnhk", q4, rw_tok.astype(q4.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    bias = jnp.concatenate([bias_h, bias_w], -1).astype(qkv.dtype)
+    if bp > 2 * win:
+        bias = jnp.pad(bias, ((0, 0),) * 3 + ((0, bp - 2 * win),))
+    bias = bias.reshape(bw, n, heads * bp)
+
+    # Static augmentation one-hot: key token (y, x) picks bias_h[., y] +
+    # bias_w[., x] out of the augmented columns.
+    oh = np.zeros((n, bp), np.float32)
+    oh[np.arange(n), ys] = 1.0
+    oh[np.arange(n), win + xs] = 1.0
+    oh = jnp.asarray(oh, qkv.dtype)
+
     if not group:
-        # VMEM: 4 arrays x group*n*hb*dp bf16, double-buffered, plus ~2 MB
-        # of f32 scratch (ab/bias/logits) per unrolled head — group 6 at
-        # hb=8 measured 1.58 MB over the 16 MB scoped limit, so budget 9.5
-        per_win = n * hb * dp * 2 * 4 * 2
+        # VMEM: q/k/v/out 4 arrays x group*n*hb*dp bf16 + bias group*n*hb*bp,
+        # double-buffered, plus f32 logits scratch per unrolled head.
+        per_win = n * hb * (4 * dp + bp) * 2 * 2
         budget = int(9.5 * 1024 * 1024)
         group = next(
             (g for g in (10, 8, 6, 5, 4, 3, 2, 1)
              if bw % g == 0 and g * per_win <= budget), 1)
 
-    nb = win * win
-    # wb[d, y*W + yk] = rel_h[y, yk, d]  (h block), same for w block
-    wb = jnp.concatenate(
-        [rel_h.reshape(nb, dp).T, rel_w.reshape(nb, dp).T], axis=1
-    ).astype(qkv.dtype)  # [Dp, 2*W*W]
-
-    ys = np.arange(n) // win
-    xs = np.arange(n) % win
-    blk = np.arange(nb) // win   # y (or x) of each table lane
-    within = np.arange(nb) % win  # yk (or xk) of each table lane
-    sel = np.concatenate(
-        [(ys[:, None] == blk[None, :]), (xs[:, None] == blk[None, :])], axis=1
-    ).astype(np.float32)  # [N, 2W²]
-    ohk = np.concatenate(
-        [(within[:, None] == ys[None, :]), (within[:, None] == xs[None, :])],
-        axis=0,
-    ).astype(np.float32)  # [2W², N]
-    sel = jnp.asarray(sel)
-    ohk = jnp.asarray(ohk, qkv.dtype)
-
     nhb = heads // hb  # head-group blocks per q/k/v section
     out = pl.pallas_call(
-        functools.partial(_qkv_window_kernel, scale=scale, group=group),
+        functools.partial(_qkv_window_kernel, scale=scale, group=group,
+                          dp=dp),
         grid=(bw // group, nhb),
         in_specs=[
             pl.BlockSpec((group, n, hb * dp),
@@ -465,11 +453,10 @@ def fused_qkv_window_attention(
             pl.BlockSpec((group, n, hb * dp),
                          lambda wi, hi: (wi, 0, 2 * nhb + hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp, 2 * nb), lambda wi, hi: (0, 0),
+            pl.BlockSpec((group, n, hb * bp),
+                         lambda wi, hi: (wi, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 2 * nb), lambda wi, hi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * nb, n), lambda wi, hi: (0, 0),
+            pl.BlockSpec((n, bp), lambda wi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((group, n, hb * dp),
@@ -477,5 +464,5 @@ def fused_qkv_window_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bw, n, heads * dp), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv, wb, sel, ohk)
+    )(qkv, qkv, qkv, bias, oh)
     return out
