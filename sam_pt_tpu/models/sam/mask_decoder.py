@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.fast_ln import fast_gelu
+from ...ops.fast_ln import exact_gelu
 
 from .image_encoder import LayerNorm2d
 
@@ -235,10 +235,10 @@ class MaskDecoder(nn.Module):
         x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
                              name="upscale_conv1", dtype=self.dtype)(src_img)
         x = LayerNorm2d(name="upscale_ln")(x)
-        x = fast_gelu(x, self.dtype)
+        x = exact_gelu(x)
         x = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
                              name="upscale_conv2", dtype=self.dtype)(x)
-        upscaled = fast_gelu(x, self.dtype)  # [B, 4H, 4W, C/8]
+        upscaled = exact_gelu(x)  # [B, 4H, 4W, C/8]
 
         hyper_in = jnp.stack(
             [

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.fast_ln import fast_gelu
+from ...ops.fast_ln import exact_gelu
 
 from .image_encoder import LayerNorm2d
 from .mask_decoder import HyperMLP, TwoWayTransformer
@@ -74,7 +74,7 @@ class MaskDecoderHQ(nn.Module):
                                  name="embedding_encoder_conv1",
                                  dtype=self.dtype)(x)
             x = LayerNorm2d(name="embedding_encoder_ln")(x)
-            x = fast_gelu(x, self.dtype)
+            x = exact_gelu(x)
             return nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
                                     name="embedding_encoder_conv2",
                                     dtype=self.dtype)(x)
@@ -83,7 +83,7 @@ class MaskDecoderHQ(nn.Module):
             x = nn.ConvTranspose(c, (2, 2), strides=(2, 2),
                                  name="compress_vit_conv1", dtype=self.dtype)(x)
             x = LayerNorm2d(name="compress_vit_ln")(x)
-            x = fast_gelu(x, self.dtype)
+            x = exact_gelu(x)
             return nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
                                     name="compress_vit_conv2",
                                     dtype=self.dtype)(x)
@@ -104,16 +104,16 @@ class MaskDecoderHQ(nn.Module):
         x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
                              name="upscale_conv1", dtype=self.dtype)(src_img)
         x = LayerNorm2d(name="upscale_ln")(x)
-        x = fast_gelu(x, self.dtype)
+        x = exact_gelu(x)
         x = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
                              name="upscale_conv2", dtype=self.dtype)(x)
-        upscaled_sam = fast_gelu(x, self.dtype)  # [B, 4H, 4W, C/8]
+        upscaled_sam = exact_gelu(x)  # [B, 4H, 4W, C/8]
 
         def embedding_maskfeature(x):
             x = nn.Conv(c // 4, (3, 3), padding=1,
                         name="maskfeature_conv1", dtype=self.dtype)(x)
             x = LayerNorm2d(name="maskfeature_ln")(x)
-            x = fast_gelu(x, self.dtype)
+            x = exact_gelu(x)
             return nn.Conv(c // 8, (3, 3), padding=1,
                            name="maskfeature_conv2", dtype=self.dtype)(x)
 

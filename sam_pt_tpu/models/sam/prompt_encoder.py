@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.fast_ln import fast_gelu
+from ...ops.fast_ln import exact_gelu
 
 from .image_encoder import LayerNorm2d
 
@@ -124,10 +124,10 @@ class PromptEncoder(nn.Module):
         """masks [B, 4*H, 4*W, 1] logits -> dense embedding [B, H, W, C]."""
         x = self.mask_conv1(masks)
         x = self.mask_ln1(x)
-        x = fast_gelu(x, self.dtype)
+        x = exact_gelu(x)
         x = self.mask_conv2(x)
         x = self.mask_ln2(x)
-        x = fast_gelu(x, self.dtype)
+        x = exact_gelu(x)
         return self.mask_conv3(x)
 
     def no_mask_dense(self, batch: int) -> jnp.ndarray:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.fast_ln import fast_gelu
+from ...ops.fast_ln import exact_gelu
 import numpy as np
 
 from .image_encoder import LayerNorm2d
@@ -63,12 +63,12 @@ class MBConv(nn.Module):
     def __call__(self, x):
         hidden = int(x.shape[-1] * self.expand_ratio)
         y = ConvBN(hidden, name="conv1", dtype=self.dtype)(x)
-        y = fast_gelu(y, self.dtype)
+        y = exact_gelu(y)
         y = ConvBN(hidden, (3, 3), padding=1, groups=hidden, name="conv2",
                    dtype=self.dtype)(y)
-        y = fast_gelu(y, self.dtype)
+        y = exact_gelu(y)
         y = ConvBN(self.features, name="conv3", dtype=self.dtype)(y)
-        return fast_gelu(x + y, self.dtype)
+        return exact_gelu(x + y)
 
 
 class PatchMerging(nn.Module):
@@ -82,10 +82,10 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         stride = 1 if self.out_dim in (320, 448, 576) else 2
         y = ConvBN(self.out_dim, name="conv1", dtype=self.dtype)(x)
-        y = fast_gelu(y, self.dtype)
+        y = exact_gelu(y)
         y = ConvBN(self.out_dim, (3, 3), strides=(stride, stride), padding=1,
                    groups=self.out_dim, name="conv2", dtype=self.dtype)(y)
-        y = fast_gelu(y, self.dtype)
+        y = exact_gelu(y)
         return ConvBN(self.out_dim, name="conv3", dtype=self.dtype)(y)
 
 
@@ -188,7 +188,7 @@ class TinyViTBlock(nn.Module):
         y = nn.LayerNorm(name="mlp_norm", dtype=self.dtype)(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1",
                      dtype=self.dtype)(y)
-        y = fast_gelu(y, self.dtype)
+        y = exact_gelu(y)
         y = nn.Dense(c, name="mlp_fc2", dtype=self.dtype)(y)
         return shortcut + y
 
@@ -214,7 +214,7 @@ class TinyViT(nn.Module):
         # stem: two stride-2 ConvBN+GELU -> /4
         x = ConvBN(self.embed_dims[0] // 2, (3, 3), strides=(2, 2), padding=1,
                    name="patch_embed_conv1", dtype=d)(x)
-        x = fast_gelu(x, self.dtype)
+        x = exact_gelu(x)
         x = ConvBN(self.embed_dims[0], (3, 3), strides=(2, 2), padding=1,
                    name="patch_embed_conv2", dtype=d)(x)
 

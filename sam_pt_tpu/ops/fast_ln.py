@@ -66,8 +66,20 @@ def fast_gelu(x: jnp.ndarray, dtype: Any) -> jnp.ndarray:
     unit scale (~4e-3), so on the bf16 path it is invisible next to the
     quantization the activations already carry. f32 paths (CPU parity
     tests against the torch reference) keep exact erf.
+
+    RESERVED FOR THE ViT ENCODER MLP — the one site where the erf cost was
+    measured to matter. Everything else (mask decoders, prompt encoder,
+    TinyViT) uses `exact_gelu`: off the hot path the approximation buys
+    nothing and silently widens the bf16 deviation envelope that f32
+    parity tests cannot see (ADVICE r3).
     """
     return nn.gelu(x, approximate=(dtype == jnp.bfloat16))
+
+
+def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU in every dtype — matches the reference's
+    torch.nn.GELU default. Use everywhere except the ViT encoder MLP."""
+    return nn.gelu(x, approximate=False)
 
 
 class FastLayerNorm(nn.Module):

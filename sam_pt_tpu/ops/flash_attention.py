@@ -251,6 +251,28 @@ def fused_qkv_relpos_attention(
     # q-tile: largest divisor of n within the budget (no kw-multiple
     # constraint — the bias is precomputed per token, not per grid row).
     tq = max(d for d in range(1, min(q_tile, n) + 1) if n % d == 0)
+    if tq < 8:
+        # Degenerate sublane tiles (prime-ish n from cropped rectangular
+        # grids): the kernel would run q-rows nearly one at a time. The
+        # plain XLA composition of the same math is faster there (ADVICE
+        # r3); correctness is unaffected either way.
+        qkv5 = qkv.reshape(b, n, 3, heads, dp)
+        q = qkv5[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, Dp]
+        k = qkv5[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv5[:, :, 2].transpose(0, 2, 1, 3)
+        rq = q.reshape(b, heads, kh, kw, dp)
+        bias_h = jnp.einsum("bhywd,ykd->bhywk", rq, rel_pos_h.astype(q.dtype))
+        bias_w = jnp.einsum("bhywd,wkd->bhywk", rq, rel_pos_w.astype(q.dtype))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, heads, kh, kw, kh, kw)
+        logits = logits + bias_h[..., :, None] + bias_w[..., None, :]
+        p = jax.nn.softmax(
+            logits.reshape(b, heads, n, n), axis=-1
+        ).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, heads * dp)
 
     # Per-token decomposed bias, computed at the XLA level as two batched
     # einsums (batch = grid row/col, contraction = head dim — clean MXU

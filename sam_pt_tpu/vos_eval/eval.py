@@ -10,6 +10,7 @@ Debug subsetting flags mirror the reference: max_videos, max_frames, vid_ids.
 """
 from __future__ import annotations
 
+import copy
 import functools
 import os
 import sys
@@ -287,8 +288,10 @@ def evaluate(cfg) -> Dict:
         # opt-in analogue of the reference's Hydra job-chdir run dirs
         # (configs/vos_eval_root.yaml:48-55: outputs/${exp_id_verbose} with
         # a %Y.%m.%d_%H.%M.%S suffix). Default OFF: stable output paths are
-        # what resume-by-skip keys on.
-        cfg = dict(cfg)
+        # what resume-by-skip keys on. copy.copy preserves the cfg's type
+        # (plain dict OR an OmegaConf mapping a caller handed us) so
+        # downstream isinstance checks see the same kind of object.
+        cfg = copy.copy(cfg)
         cfg["output"] = (
             f"{cfg['output']}_{cfg.get('dataset', '')}_"
             f"{cfg.get('split', '')}_{cfg.get('seed', 72)}_"

@@ -337,3 +337,60 @@ class TestSuperGlueConversion:
         }
         tmpl = model.init(jax.random.PRNGKey(0), data)
         validate_against_template(sg_params, tmpl)
+
+
+class TestCoTrackerKeyInventory:
+    """Structural gate on the published cotracker_stride_4_wind_8.pth
+    (VERDICT r3 #7): the converter's expected key inventory — the full-size
+    published CoTracker v1 namespace (fnet.* BasicEncoder from the
+    reference's own torch module, updateformer.{input_transform,flow_head,
+    time_blocks.0-5,space_blocks.0-5}.*, norm.*, ffeat_updater.0.*,
+    vis_predictor.0.*; reference configs/model/point_tracker/cotracker.yaml,
+    docs/03-prepare-checkpoints.md:31-104) — must map BIJECTIVELY onto our
+    full-size flax CoTracker's init tree. Catches key/shape drift on either
+    side now; the weight VALUES are gated by tests/test_real_weights.py the
+    day a checkpoint is reachable.
+    """
+
+    def test_full_size_inventory_bijects_onto_model_tree(self):
+        from test_parity_cotracker import TorchCoTrackerWindow, _fnet_state_dict
+
+        from sam_pt_tpu.models.tracker.cotracker.model import CoTracker
+        from sam_pt_tpu.utils.checkpoint import convert_cotracker_state_dict
+
+        torch.manual_seed(0)
+        win = TorchCoTrackerWindow(
+            latent=128, input_dim=456, hidden=384, heads=8,
+            time_depth=6, space_depth=6,
+        )
+        sd = {f"model.{k}": v for k, v in win.state_dict().items()}
+        sd.update({f"model.{k}": v for k, v in _fnet_state_dict().items()})
+
+        params = convert_cotracker_state_dict(sd)
+
+        # every published tensor lands in exactly one converted leaf
+        leaves = jax.tree_util.tree_leaves(params)
+        assert len(leaves) == len(sd)
+
+        # the converted tree covers the model's init tree with equal shapes
+        model = CoTracker()
+        s, h8, w8, n, c = model.s, 16, 16, 4, model.latent_dim
+
+        def _init_all(mod, rgbs, fmaps, coords, feats, tm):
+            mod.encode_frames(rgbs)
+            return mod(fmaps, coords, feats, tm, iters=1)
+
+        tmpl = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, h8 * model.stride, w8 * model.stride, 3)),
+                jnp.zeros((s, h8, w8, c)),
+                jnp.zeros((s, n, 2)),
+                jnp.zeros((n, c)),
+                jnp.ones((s, n)),
+                method=_init_all,
+            )
+        )
+        validate_against_template(params, tmpl)
+        # ... and has no leaves the model does not (true bijection)
+        assert len(leaves) == len(jax.tree_util.tree_leaves(tmpl))
