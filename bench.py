@@ -223,6 +223,38 @@ def stage_split(sam_pt=None, n_frames=70, n_masks=3,
     return {k: round(v, 4) for k, v in stages.items()}
 
 
+def encoder_mfu(stages, n_frames=70):
+    """Encoder %-of-sustained-matmul from the stage split, judged against the
+    committed ROOFLINE.json (the MFU regression gate, VERDICT r3 #9).
+
+    Returns (pct, regression_flag): `regression_flag` is True when the
+    measured encoder MFU fell more than 10% (relative) below the committed
+    artifact's value — the signal that an encoder change traded throughput
+    away. None/False when no artifact or no sustained rate is available.
+    """
+    import os
+
+    from scripts.microbench import vit_matmul_flops_per_frame
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, "ROOFLINE.json")
+    if not os.path.exists(path):
+        return None, False
+    with open(path) as f:
+        roofline = json.load(f)
+    sustained = roofline.get("matmul_bf16_tflops")
+    if not sustained:
+        return None, False
+    enc_s_per_frame = stages["sam_encode"] / n_frames
+    flops = vit_matmul_flops_per_frame("vit_h")
+    pct = round(100 * (flops / (sustained * 1e12)) / enc_s_per_frame, 1)
+    committed = (roofline.get("encoder_vit_h") or {}).get(
+        "pct_of_sustained_matmul"
+    )
+    regression = bool(committed) and pct < 0.9 * committed
+    return pct, regression
+
+
 def main():
     from sam_pt_tpu.utils.cache import enable_persistent_cache
 
@@ -232,20 +264,27 @@ def main():
         sam_pt = build_pipeline()
         fps = bench_full_pipeline(sam_pt)
         stages = stage_split(sam_pt)
-        print(
-            json.dumps(
-                {
-                    "metric": "sam_pt_e2e_fps_vith_cotracker_davis480p",
-                    "value": round(float(fps), 3),
-                    "unit": "frames/sec/chip",
-                    "vs_baseline": round(float(fps) / BASELINE_FPS, 2),
-                    "schedule": [
-                        {"frames": t, "masks": m} for t, m in SCHEDULE
-                    ],
-                    "stages_serialized_70f_3m_s": stages,
-                }
+        enc_pct, mfu_regression = encoder_mfu(stages)
+        record = {
+            "metric": "sam_pt_e2e_fps_vith_cotracker_davis480p",
+            "value": round(float(fps), 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(float(fps) / BASELINE_FPS, 2),
+            "schedule": [{"frames": t, "masks": m} for t, m in SCHEDULE],
+            "stages_serialized_70f_3m_s": stages,
+        }
+        if enc_pct is not None:
+            record["encoder_pct_of_sustained"] = enc_pct
+            record["mfu_regression"] = mfu_regression
+        print(json.dumps(record))
+        if mfu_regression:
+            import sys
+
+            print(
+                f"WARNING: encoder MFU {enc_pct}% is >10% below the "
+                "committed ROOFLINE.json value — a change regressed encode.",
+                file=sys.stderr,
             )
-        )
     except Exception as e:  # pragma: no cover
         print(json.dumps({"metric": "error", "value": 0, "unit": str(e)[:200],
                           "vs_baseline": 0}))

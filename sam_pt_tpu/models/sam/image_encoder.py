@@ -153,6 +153,25 @@ def _add_decomposed_rel_pos(
     return attn.reshape(-1, q_h * q_w, k_h * k_w)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible parameters (kernel [in, out], bias
+    [out]) WITHOUT applying them — the tensor-parallel shard_map attention
+    consumes the raw arrays (it slices head blocks per device), but the
+    param tree must stay byte-identical to the nn.Dense the XLA path uses
+    so checkpoints and the init tree are mode-independent."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head attention over an NHWC token grid with optional rel-pos.
 
@@ -171,12 +190,16 @@ class Attention(nn.Module):
     fused_window: bool = False  # window kernel at the NATIVE head dim
     cropped: bool = False  # runtime grid is a crop of input_size (pad crop)
     # Tensor parallelism: name of the mesh axis heads are sharded over.
-    # Routes through the XLA (non-Pallas) path — GSPMD cannot partition a
-    # custom call — and pins a head-sharded layout on the split q/k/v so the
-    # per-head attention math runs 1/m-per-device. `dp_axis` names the mesh
-    # axis the BATCH is sharded over (if any) so the constraint preserves
-    # data parallelism on a 2D (data x model) mesh. Requires an active mesh
-    # (jax.set_mesh) with d*m dividing batch*num_heads.
+    # At real SAM scale this routes through `tp_shardmap_attention` — the
+    # Pallas fused kernels run per head shard inside jax.shard_map (GSPMD
+    # cannot partition a custom call, but a shard_map body is a
+    # single-device program). When the local head count misaligns with the
+    # kernels' lane tiling (or the config is tiny), falls back to the XLA
+    # path with a head-sharded layout constraint on the split q/k/v.
+    # `dp_axis` names the mesh axis the BATCH is sharded over (if any) so
+    # both paths preserve data parallelism on a 2D (data x model) mesh.
+    # Requires an active mesh (jax.set_mesh) with d*m dividing
+    # batch*num_heads.
     tp_axis: Optional[str] = None
     dp_axis: Optional[str] = None
     dtype: Any = jnp.float32
@@ -196,10 +219,6 @@ class Attention(nn.Module):
         hdp = self.padded_head_dim or head_dim
         scale = head_dim ** -0.5  # scale always uses the REAL head dim
 
-        qkv = nn.Dense(3 * self.num_heads * hdp, use_bias=True, name="qkv",
-                       dtype=self.dtype)(x)
-        qkv = qkv.reshape(b, h * w, 3 * self.num_heads * hdp)
-
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros,
@@ -209,6 +228,48 @@ class Attention(nn.Module):
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, hdp)
             )
+
+        # Tensor parallelism through the PALLAS kernels: inside shard_map
+        # every device runs a single-device program, so the fused kernels
+        # apply per head shard (they are per-head grid-parallel). Engaged
+        # when the trace-time mesh has a model axis and the LOCAL head
+        # count satisfies the kernels' lane-tiling constraints; otherwise
+        # the XLA + sharding-constraint path below remains the fallback.
+        tp_m = 0
+        if self.tp_axis is not None and self.use_rel_pos:
+            am = jax.sharding.get_abstract_mesh()
+            shape = dict(am.shape) if am is not None else {}
+            tp_m = int(shape.get(self.tp_axis, 0) or 0)
+            dp_m = int(shape.get(self.dp_axis, 1) or 1) if self.dp_axis else 1
+        if tp_m > 1 and self.num_heads % tp_m == 0 and h * w >= 196:
+            hl = self.num_heads // tp_m
+            hb = 128 // int(np.gcd(hdp, 128))
+            win_ok = h * w < 1024 and h == w and hl % hb == 0 and (
+                self.fused_window or hdp % 128 == 0
+            )
+            glob_ok = h * w >= 1024 and hdp % 128 == 0
+            if (win_ok or glob_ok) and b % dp_m == 0:
+                from ...parallel.tensor_parallel import tp_shardmap_attention
+
+                qkv_k, qkv_b = _DenseParams(
+                    3 * self.num_heads * hdp, name="qkv")(c)
+                proj_k, proj_b = _DenseParams(
+                    c, name="proj")(self.num_heads * hdp)
+                rh = _rel_pos_table(rel_pos_h, h, h, self.cropped)
+                rw = _rel_pos_table(rel_pos_w, w, w, self.cropped)
+                xf = x if flat_in else x.reshape(b, h * w, c)
+                out = tp_shardmap_attention(
+                    xf.astype(self.dtype),
+                    qkv_k, qkv_b, proj_k, proj_b, rh, rw,
+                    heads=self.num_heads, tp_size=tp_m, scale=scale,
+                    axis=self.tp_axis, dp_axis=self.dp_axis,
+                    kh=h, kw=w, dtype=self.dtype,
+                )
+                return out if flat_in else out.reshape(b, h, w, c)
+
+        qkv = nn.Dense(3 * self.num_heads * hdp, use_bias=True, name="qkv",
+                       dtype=self.dtype)(x)
+        qkv = qkv.reshape(b, h * w, 3 * self.num_heads * hdp)
 
         # Large global blocks (the 4096-token SAM grid) go through the fused
         # Pallas kernel: logits stay in VMEM and the rel-pos bias is computed
@@ -463,10 +524,11 @@ class ImageEncoderViT(nn.Module):
     # hidden dim over (see parallel/tensor_parallel.py for the param specs
     # and the collective layout). Cuts single-image encode latency ~1/m on
     # an m-way model axis — the axis data parallelism can't touch (the
-    # interactive path encodes ONE frame on the critical path). Pallas
-    # fused kernels are bypassed under TP (GSPMD can't partition them).
-    # `dp_axis`: the mesh axis the image batch is sharded over, when TP is
-    # combined with data parallelism on a 2D mesh.
+    # interactive path encodes ONE frame on the critical path). Attention
+    # runs the Pallas fused kernels per head shard via shard_map when the
+    # local head count tiles (see Attention.tp_axis); the MLP stays
+    # GSPMD-Megatron-sharded. `dp_axis`: the mesh axis the image batch is
+    # sharded over, when TP is combined with data parallelism on a 2D mesh.
     tp_axis: Optional[str] = None
     dp_axis: Optional[str] = None
     dtype: Any = jnp.float32

@@ -378,6 +378,55 @@ def _qkv_window_kernel(q_ref, k_ref, v_ref, b_ref, oh_ref, o_ref,
             ).astype(o_ref.dtype)
 
 
+def _qkv_window_kernel_batched(q_ref, k_ref, v_ref, b_ref, oh_ref, o_ref,
+                               *, scale, group, dp):
+    """Like `_qkv_window_kernel` but the window loop is a G-BATCHED
+    dot_general per head instead of `group` separately-scheduled tiny dots:
+    3 MXU ops + 1 softmax per head-iteration rather than 3*G + G. The
+    per-(window, head) [196, dp] matmuls under-fill the MXU individually
+    (measured 1.0 ms/layer vs a 0.13 ms floor at ViT-H shapes — the unrolled
+    schedule serializes VPU softmax against MXU phases); batching the window
+    dim pipelines them inside single ops.
+
+    The bias one-hot selection runs as a SEPARATE [G*N, BP] @ [BP, N] matmul
+    (leading-dim reshapes lower in Mosaic; lane-splitting ones do not), then
+    adds into the f32 logits."""
+    oh = oh_ref[...]  # [N, BP]
+    bp = oh.shape[-1]
+    hh = q_ref.shape[-1] // dp
+    g = q_ref.shape[0]
+    n = q_ref.shape[1]
+
+    for h in range(hh):  # static unroll over the head block
+        sl = slice(h * dp, (h + 1) * dp)
+        bl = slice(h * bp, (h + 1) * bp)
+        q = q_ref[:, :, sl]  # [G, N, Dp]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        bias = b_ref[:, :, bl]  # [G, N, BP]
+
+        logits = jax.lax.dot_general(
+            (q * scale).astype(q.dtype), k,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, N, N]
+        bias_sel = jax.lax.dot_general(
+            bias.reshape(g * n, bp), oh,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, n, n)  # bias_h[yk] + bias_w[xk] per key token
+        logits = logits + bias_sel
+
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[:, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
 def fused_qkv_window_attention(
     qkv: jnp.ndarray,
     rel_h: jnp.ndarray,
@@ -387,6 +436,7 @@ def fused_qkv_window_attention(
     heads: int,
     group: int = 0,
     interpret: Optional[bool] = None,
+    batched_kernel: bool = True,
 ) -> jnp.ndarray:
     """Windowed ViT rel-pos attention straight from the fused qkv projection.
 
@@ -461,8 +511,9 @@ def fused_qkv_window_attention(
              if bw % g == 0 and g * per_win <= budget), 1)
 
     nhb = heads // hb  # head-group blocks per q/k/v section
+    kernel = _qkv_window_kernel_batched if batched_kernel else _qkv_window_kernel
     out = pl.pallas_call(
-        functools.partial(_qkv_window_kernel, scale=scale, group=group,
+        functools.partial(kernel, scale=scale, group=group,
                           dp=dp),
         grid=(bw // group, nhb),
         in_specs=[

@@ -40,16 +40,28 @@ psum buys fully-distributed qkv compute without a weight-layout fork
 between the TP and single-chip checkpoints.
 
 Constraints: the model-axis size must divide batch*num_heads (16 heads for
-ViT-L/H, 12 for ViT-B), and TP routes through the XLA attention path — the
-Pallas fused kernels are single-device programs GSPMD cannot partition.
-Combine with a `data` axis for a 2D (data x model) mesh: frames shard over
-`data`, heads/MLP over `model`.
+ViT-L/H, 12 for ViT-B). Combine with a `data` axis for a 2D (data x model)
+mesh: frames shard over `data`, heads/MLP over `model`.
+
+Attention under TP runs the PALLAS fused kernels per shard via
+`tp_shardmap_attention` (GSPMD cannot partition a custom call, but inside
+`jax.shard_map` every device runs a single-device program — the kernels are
+per-head grid-parallel, so head sharding composes naturally): each device
+projects qkv for its OWN head slice (1/m of the qkv FLOPs, against a
+replicated kernel it slices locally), runs the fused window/global kernel on
+local heads, and contributes a row-parallel output projection closed by ONE
+f32 psum — one collective per attention sublayer instead of the two the
+GSPMD path paid. Falls back to the XLA-attention GSPMD path when the local
+head count misaligns with the kernels' lane-tiling constraints (see
+`ImageEncoderViT` for the conditions).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -67,8 +79,12 @@ def sam_tp_param_specs(params, axis: str = "model"):
         if not any(str(n).startswith("blocks_") for n in names):
             return P()
         tail = tuple(str(n) for n in names[-2:])
-        if tail == ("qkv", "kernel") or tail == ("proj", "kernel"):
-            return P(axis, None)
+        # qkv/proj kernels stay REPLICATED: the shard_map attention slices
+        # its own head block locally (free on a replicated array), which is
+        # what lets each device run 1/m of the qkv projection AND the Pallas
+        # kernel with a single closing psum. (They were contraction-sharded
+        # when attention went through GSPMD — that layout forced a full
+        # [B, N, 3*H*Dp] activation psum per block.)
         if tail == ("mlp_lin1", "kernel"):
             return P(None, axis)
         if tail == ("mlp_lin1", "bias"):
@@ -86,6 +102,98 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
     )
+
+
+def tp_shardmap_attention(
+    x: "jnp.ndarray",
+    qkv_kernel: "jnp.ndarray",
+    qkv_bias: "jnp.ndarray",
+    proj_kernel: "jnp.ndarray",
+    proj_bias: "jnp.ndarray",
+    rel_h: "jnp.ndarray",
+    rel_w: "jnp.ndarray",
+    *,
+    heads: int,
+    tp_size: int,
+    scale: float,
+    axis: str,
+    dp_axis: Optional[str],
+    kh: int,
+    kw: int,
+    dtype: Any,
+):
+    """Head-sharded rel-pos attention sublayer (qkv Dense -> Pallas fused
+    kernel -> output projection) under `jax.shard_map`.
+
+    x: [B, N, C] token-flat input (windows batched into B for windowed
+    blocks); kh*kw == N. qkv_kernel: [C, 3*H*Dp] in the converted column
+    order [3, H, Dp]; proj_kernel: [H*Dp, C] head-major rows. rel_h/rel_w:
+    resolved [kh|kw, kh|kw, Dp] tables (shared across heads — replicated).
+
+    Each device slices its OWN head block of the replicated qkv kernel
+    (columns are independent, so the local projection output is exactly the
+    corresponding slice of the full projection), runs the fused kernel on
+    `heads/tp_size` local heads, and computes a row-parallel partial output
+    projection in f32, closed by one psum. Requires an active mesh whose
+    `axis` has size `tp_size` (jax.set_mesh at trace time).
+
+    Numerics vs unsharded: identical up to the f32-psum summation order of
+    the output projection (the single-device matmul accumulates the full
+    contraction in one f32 tree; here m partial f32 trees are psum'ed).
+    """
+    b, n, c = x.shape
+    assert kh * kw == n, (kh, kw, n)
+    assert heads % tp_size == 0, (heads, tp_size)
+    hl = heads // tp_size
+    hdp = qkv_kernel.shape[-1] // (3 * heads)
+
+    from ..ops.flash_attention import (
+        fused_qkv_relpos_attention,
+        fused_qkv_window_attention,
+    )
+
+    windowed = n < 1024
+
+    wq = qkv_kernel.reshape(c, 3, heads, hdp)
+    bq = qkv_bias.reshape(3, heads, hdp)
+    wp = proj_kernel.reshape(heads, hdp, c)
+    xspec = P(dp_axis, None, None) if dp_axis else P(None, None, None)
+
+    def body(xl, wql, bql, wpl, rh, rw):
+        wq2 = wql.reshape(c, 3 * hl * hdp).astype(dtype)
+        bq2 = bql.reshape(3 * hl * hdp).astype(dtype)
+        qkv = xl @ wq2 + bq2  # [B_local, N, 3*hl*hdp]
+        if windowed:
+            out = fused_qkv_window_attention(
+                qkv, rh, rw, scale=scale, heads=hl
+            )
+        else:
+            out = fused_qkv_relpos_attention(
+                qkv, rh, rw, scale=scale, kh=kh, kw=kw, heads=hl
+            )
+        wp2 = wpl.reshape(hl * hdp, c).astype(dtype)
+        part = jax.lax.dot_general(
+            out, wp2, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.psum(part, axis)
+
+    out = jax.shard_map(
+        body,
+        # pallas_call inside a shard_map body cannot declare how its output
+        # varies over mesh axes (vma), so the automatic replication check
+        # must be off; the closing psum is what makes out_specs sound.
+        check_vma=False,
+        in_specs=(
+            xspec,
+            P(None, None, axis, None),  # qkv kernel: head blocks
+            P(None, axis, None),        # qkv bias
+            P(axis, None, None),        # proj kernel: head-major rows
+            P(), P(),                   # rel tables replicated
+        ),
+        out_specs=xspec,
+    )(x, wq, bq, wp, rel_h.astype(dtype), rel_w.astype(dtype))
+    return (out + proj_bias.astype(jnp.float32)).astype(dtype)
 
 
 def create_tp_mesh(

@@ -87,6 +87,7 @@ _SLOW_PATTERNS = (
     "test_sam.py::TestSamEndToEnd",
     "test_sam_pt.py::TestReinitMidVideoQuery",
     "test_sam_pt.py::TestBlankedLogitsResize",
+    "test_tensor_parallel.py::TestPallasTpParity",
 )
 
 
