@@ -236,12 +236,14 @@ def main():
     )
     xin = jax.random.normal(rng, (B, 1024, 1024, 3), bf) * 0.5
 
-    @jax.jit
-    def run_enc(x):
-        return enc.apply(enc_p, x).ravel()[0]
+    # Plain jit(apply) + block_until_ready: the scalar-projected wrapper
+    # (`.ravel()[0]` inside the jit) reproducibly broke the tunnel's remote
+    # compile service on the full 32-layer program; block_until_ready costs
+    # the same RTT the scalar fetch did, which the subtraction removes.
+    run_enc = jax.jit(lambda x: enc.apply(enc_p, x))
 
-    np.asarray(run_enc(xin))
-    dt = median_time(lambda: np.asarray(run_enc(xin)), reps) - rtt
+    run_enc(xin).block_until_ready()
+    dt = median_time(lambda: run_enc(xin).block_until_ready(), reps) - rtt
     from scripts.microbench import vit_matmul_flops_per_frame
 
     fl = vit_matmul_flops_per_frame("vit_h") * B
