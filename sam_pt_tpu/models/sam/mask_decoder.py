@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.fast_conv import ConvT2x2
 from ...ops.fast_ln import exact_gelu
 
 from .image_encoder import LayerNorm2d
@@ -35,6 +36,22 @@ class DownsampledAttention(nn.Module):
         qp = nn.Dense(internal, name="q_proj", dtype=self.dtype)(q)
         kp = nn.Dense(internal, name="k_proj", dtype=self.dtype)(k)
         vp = nn.Dense(internal, name="v_proj", dtype=self.dtype)(v)
+
+        if q.shape[1] >= 1024 or k.shape[1] >= 1024:
+            # Image-side cross-attention (the decoder's hot path): the XLA
+            # composition materializes [B, H, Nq, Nk] probabilities in HBM
+            # (~290 MB f32 at the decode-chain chunk shape, ~0.97 ms per
+            # attention, 5 per pass x up to 14 passes) — the fused kernel
+            # keeps logits/probs in VMEM with bit-mirrored numerics
+            # (ops/flash_attention.py::fused_cross_attention).
+            from ...ops.flash_attention import fused_cross_attention
+
+            out = fused_cross_attention(
+                qp, kp, vp, heads=self.num_heads,
+                divisor=head_dim ** 0.5, kv_valid=kv_valid,
+            )
+            return nn.Dense(self.embed_dim, name="out_proj",
+                            dtype=self.dtype)(out)
 
         def split(x):
             b, n, _ = x.shape
@@ -192,11 +209,15 @@ class MaskDecoder(nn.Module):
         sparse_prompt: jnp.ndarray,     # [B, N, C]
         dense_prompt: jnp.ndarray,      # [B, H, W, C]
         prompt_valid: Optional[jnp.ndarray] = None,  # [B, N] bool
+        only_token0: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (mask logits [B, num_tokens, 4H, 4W], iou_pred [B, num_tokens]).
 
         num_tokens = 1 + num_multimask_outputs; callers select token 0 for
         single-mask output or tokens 1..3 for multimask (SAM semantics).
+        With `only_token0`, the mask logits carry token 0 alone ([B, 1, ...];
+        identical values) while iou_pred stays full — the decode chain's
+        passes never read tokens 1..3.
         """
         c = self.transformer_dim
         num_mask_tokens = self.num_multimask_outputs + 1
@@ -232,26 +253,31 @@ class MaskDecoder(nn.Module):
 
         h, w = image_embeddings.shape[1], image_embeddings.shape[2]
         src_img = src_out.reshape(b, h, w, c)
-        x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
-                             name="upscale_conv1", dtype=self.dtype)(src_img)
+        x = ConvT2x2(c // 4, name="upscale_conv1", dtype=self.dtype)(src_img)
         x = LayerNorm2d(name="upscale_ln")(x)
         x = exact_gelu(x)
-        x = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
-                             name="upscale_conv2", dtype=self.dtype)(x)
+        x = ConvT2x2(c // 8, name="upscale_conv2", dtype=self.dtype)(x)
         upscaled = exact_gelu(x)  # [B, 4H, 4W, C/8]
 
+        # Hypernetwork heads. `only_token0` (the decode-chain fast path):
+        # every chain pass consumes masks[:, 0] / iou[:, 0] alone, and the
+        # per-token hypernetworks are independent — computing tokens 1..3
+        # there is pure discarded work (3/4 of the mask einsum + its
+        # [B, T, 4H, 4W] materialization). Semantics of token 0 and of the
+        # full iou head are unchanged.
+        n_tok = 1 if only_token0 else num_mask_tokens
         hyper_in = jnp.stack(
             [
                 HyperMLP(c, c // 8, name=f"output_hypernetworks_mlps_{i}",
                          dtype=self.dtype)(mask_tokens_out[:, i, :])
                 for i in range(num_mask_tokens)
-            ],
+            ][:n_tok],
             axis=1,
-        )  # [B, T, C/8]
+        )  # [B, n_tok, C/8]
 
         masks = jnp.einsum(
             "btc,bhwc->bthw", hyper_in, upscaled
-        )  # [B, T, 4H, 4W]
+        )  # [B, n_tok, 4H, 4W]
 
         iou_pred = HyperMLP(
             self.iou_head_hidden_dim,

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.fast_conv import ConvT2x2
 from ...ops.fast_ln import exact_gelu
 
 from .image_encoder import LayerNorm2d
@@ -70,23 +71,19 @@ class MaskDecoderHQ(nn.Module):
 
         # high-res HQ features: upscaled image embedding + compressed ViT feats
         def embedding_encoder(x):
-            x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
-                                 name="embedding_encoder_conv1",
-                                 dtype=self.dtype)(x)
+            x = ConvT2x2(c // 4, name="embedding_encoder_conv1",
+                         dtype=self.dtype)(x)
             x = LayerNorm2d(name="embedding_encoder_ln")(x)
             x = exact_gelu(x)
-            return nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
-                                    name="embedding_encoder_conv2",
-                                    dtype=self.dtype)(x)
+            return ConvT2x2(c // 8, name="embedding_encoder_conv2",
+                            dtype=self.dtype)(x)
 
         def compress_vit_feat(x):
-            x = nn.ConvTranspose(c, (2, 2), strides=(2, 2),
-                                 name="compress_vit_conv1", dtype=self.dtype)(x)
+            x = ConvT2x2(c, name="compress_vit_conv1", dtype=self.dtype)(x)
             x = LayerNorm2d(name="compress_vit_ln")(x)
             x = exact_gelu(x)
-            return nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
-                                    name="compress_vit_conv2",
-                                    dtype=self.dtype)(x)
+            return ConvT2x2(c // 8, name="compress_vit_conv2",
+                            dtype=self.dtype)(x)
 
         hq_features = embedding_encoder(image_embeddings.astype(self.dtype)) + \
             compress_vit_feat(interm_embeddings.astype(self.dtype))
@@ -101,12 +98,10 @@ class MaskDecoderHQ(nn.Module):
 
         h, w = image_embeddings.shape[1], image_embeddings.shape[2]
         src_img = src_out.reshape(b, h, w, c)
-        x = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2),
-                             name="upscale_conv1", dtype=self.dtype)(src_img)
+        x = ConvT2x2(c // 4, name="upscale_conv1", dtype=self.dtype)(src_img)
         x = LayerNorm2d(name="upscale_ln")(x)
         x = exact_gelu(x)
-        x = nn.ConvTranspose(c // 8, (2, 2), strides=(2, 2),
-                             name="upscale_conv2", dtype=self.dtype)(x)
+        x = ConvT2x2(c // 8, name="upscale_conv2", dtype=self.dtype)(x)
         upscaled_sam = exact_gelu(x)  # [B, 4H, 4W, C/8]
 
         def embedding_maskfeature(x):

@@ -135,6 +135,7 @@ class SamPredictor:
         labels: jnp.ndarray,
         mask_input: Optional[jnp.ndarray],
         mask_valid: Optional[jnp.ndarray],
+        only_token0: bool = False,
     ):
         return self.model.apply(
             params,
@@ -143,6 +144,7 @@ class SamPredictor:
             labels,
             mask_input,
             mask_valid,
+            only_token0=only_token0 and not self.model.use_hq,
             method=Sam.decode_masks,
         )
 

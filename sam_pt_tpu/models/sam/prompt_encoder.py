@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.fast_conv import Conv2x2Down
 from ...ops.fast_ln import exact_gelu
 
 from .image_encoder import LayerNorm2d
@@ -65,11 +66,11 @@ class PromptEncoder(nn.Module):
         self.no_mask_embed = self.param(
             "no_mask_embed", nn.initializers.normal(1.0), (self.embed_dim,)
         )
-        self.mask_conv1 = nn.Conv(self.mask_in_chans // 4, (2, 2), strides=(2, 2),
-                                  name="mask_conv1", dtype=self.dtype)
+        self.mask_conv1 = Conv2x2Down(self.mask_in_chans // 4,
+                                      name="mask_conv1", dtype=self.dtype)
         self.mask_ln1 = LayerNorm2d(name="mask_ln1")
-        self.mask_conv2 = nn.Conv(self.mask_in_chans, (2, 2), strides=(2, 2),
-                                  name="mask_conv2", dtype=self.dtype)
+        self.mask_conv2 = Conv2x2Down(self.mask_in_chans,
+                                      name="mask_conv2", dtype=self.dtype)
         self.mask_ln2 = LayerNorm2d(name="mask_ln2")
         self.mask_conv3 = nn.Conv(self.embed_dim, (1, 1), name="mask_conv3",
                                   dtype=self.dtype)

@@ -142,11 +142,15 @@ class Sam(nn.Module):
         labels: jnp.ndarray,            # [B, N] int32
         mask_input: Optional[jnp.ndarray] = None,  # [B, 4g, 4g, 1] logits
         mask_valid: Optional[jnp.ndarray] = None,  # [B] bool
+        only_token0: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Batched prompt->mask decoding.
 
         Returns (low_res_logits [B, T, 4g, 4g], iou_pred [B, T]) where
         T = 4 mask tokens; callers slice token 0 (single) or 1:4 (multi).
+        `only_token0` (plain decoder only): emit mask logits for token 0
+        alone — [B, 1, 4g, 4g], same values — for chain passes that never
+        read tokens 1..3 (3/4 of the mask head is discarded work there).
 
         Pad handling: segment_anything appends exactly ONE not-a-point pad to
         the visible points — but only when no box is given
@@ -203,6 +207,7 @@ class Sam(nn.Module):
             sparse.astype(self.dtype),
             dense.astype(self.dtype),
             prompt_valid,
+            only_token0=only_token0,
         )
         return masks.astype(jnp.float32), iou_pred.astype(jnp.float32)
 

@@ -873,17 +873,20 @@ class SamPt:
                 pts_model = predictor.scale_coords(pts, original_hw)
                 if not use_chain:
                     masks, iou = predictor._decode(
-                        params, emb, pts_model, lbl, None, None
+                        params, emb, pts_model, lbl, None, None,
+                        only_token0=True,
                     )
                     low, iou = masks[:, 0], iou[:, 0]
                 else:
                     pos_lbl = jnp.where(lbl == 1, 1, -1)
                     masks1, _ = predictor._decode(
-                        params, emb, pts_model, pos_lbl, None, None
+                        params, emb, pts_model, pos_lbl, None, None,
+                        only_token0=True,
                     )
                     masks, iou = predictor._decode(
                         params, emb, pts_model, lbl,
                         masks1[:, 0, :, :, None], None,
+                        only_token0=True,
                     )
                     low, iou = masks[:, 0], iou[:, 0]
                 for _ in range(refine_iters):
@@ -941,6 +944,7 @@ class SamPt:
         masks, new_iou = predictor._decode(
             params, emb, pts2, lbl2,
             low[:, :, :, None], jnp.ones(low.shape[0], bool),
+            only_token0=True,
         )
         new_low, new_iou = masks[:, 0], new_iou[:, 0]
         low = jnp.where(active[:, None, None], new_low, low)

@@ -332,6 +332,115 @@ def fused_qkv_relpos_attention(
     return out
 
 
+def _cross_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
+                            *, divisor, heads, group, masked):
+    """`group` batch elements per grid step; per-head attention with logits
+    and probabilities entirely in VMEM.
+
+    Built for the SAM mask decoder's TwoWayTransformer cross-attentions
+    (8 heads x head_dim 16, 55 tokens x 4096 image tokens): the XLA
+    composition materializes [B, H, Nq, Nk] probability tensors in HBM
+    (~290 MB f32 per attention at the decode-chain chunk shape) — ~0.97 ms
+    each, 5 per decoder pass, and the decode chain runs up to 14 passes. The
+    FLOPs are trivial; this kernel exists purely to keep that traffic
+    on-chip.
+
+    Numerics mirror the XLA path exactly: the logits dot is rounded to the
+    input dtype (XLA's bf16 dot output), scaled in that dtype, masked via
+    select to the same -1e9 constant, softmaxed in f32, and the probability
+    matrix is cast back to the input dtype for the PV dot.
+    """
+    for g in range(group):
+        if masked:
+            # f32 compare: Mosaic's vector cmpf doesn't support bf16
+            mrow = m_ref[g].astype(jnp.float32) > 0  # [1, Nk] validity
+        for h in range(heads):
+            dh = q_ref.shape[-1] // heads
+            sl = slice(h * dh, (h + 1) * dh)
+            q = q_ref[g, :, sl]  # [Nq, dh]
+            k = k_ref[g, :, sl]  # [Nk, dh]
+            v = v_ref[g, :, sl]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype) / divisor  # [Nq, Nk], input-dtype rounding
+            if masked:
+                logits = jnp.where(
+                    mrow, logits, jnp.asarray(-1e9, logits.dtype)
+                )
+            lf = logits.astype(jnp.float32)
+            m = jnp.max(lf, axis=-1, keepdims=True)
+            p = jnp.exp(lf - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[g, :, sl] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+
+def fused_cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    heads: int,
+    divisor: float,
+    kv_valid: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention on pre-projected q/k/v with heads kept merged.
+
+    q: [B, Nq, H*dh]; k, v: [B, Nk, H*dh]; kv_valid: [B, Nk] bool or None.
+    Returns [B, Nq, H*dh] — replaces the head-split -> attention ->
+    head-merge composition (and its HBM probability tensors) with one
+    VMEM-resident kernel. `divisor` mirrors the reference's
+    `logits / sqrt(head_dim)` (a true division, kept bit-identical).
+    See `_cross_attention_kernel` for numerics.
+    """
+    b, nq, ch = q.shape
+    nk = k.shape[1]
+    assert ch % heads == 0
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    masked = kv_valid is not None
+    mask = (
+        kv_valid.astype(q.dtype)[:, None, :]
+        if masked else jnp.zeros((b, 1, 1), q.dtype)
+    )  # [B, 1, Nk]
+
+    # VMEM per element: q/out Nq*ch, k/v Nk*ch (bf16) + f32 logits scratch.
+    per_elem = 2 * (2 * nq * ch + 2 * nk * ch) + 8 * nq * nk
+    budget = int(10 * 1024 * 1024)
+    group = next((g for g in (8, 6, 4, 3, 2, 1)
+                  if b % g == 0 and g * per_elem <= budget), 1)
+
+    out = pl.pallas_call(
+        functools.partial(_cross_attention_kernel, divisor=divisor,
+                          heads=heads, group=group, masked=masked),
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, nq, ch), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, nk, ch), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, nk, ch), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (group, 1, mask.shape[-1]),
+                (lambda bi: (bi, 0, 0)) if masked else (lambda bi: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((group, nq, ch), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nq, ch), q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask)
+    return out
+
+
 def _qkv_window_kernel(q_ref, k_ref, v_ref, b_ref, oh_ref, o_ref,
                        *, scale, group, dp):
     """`group` windows × a head block per grid step, entirely in VMEM.

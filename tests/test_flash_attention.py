@@ -292,3 +292,67 @@ class TestFusedQkvWindowAttention:
                                        group=2)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFusedCrossAttention:
+    """Decoder cross-attention kernel vs the head-split XLA composition."""
+
+    def _xla_ref(self, qp, kp, vp, heads, kv_valid=None):
+        b, nq, ch = qp.shape
+        dh = ch // heads
+
+        def split(x):
+            bb, n, _ = x.shape
+            return jnp.transpose(x.reshape(bb, n, heads, dh), (0, 2, 1, 3))
+
+        qh, kh, vh = split(qp), split(kp), split(vp)
+        logits = (qh @ jnp.swapaxes(kh, -1, -2)) / (dh ** 0.5)
+        if kv_valid is not None:
+            logits = jnp.where(kv_valid[:, None, None, :], logits, -1e9)
+        p = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(qp.dtype)
+        out = p @ vh
+        bb, h, n, d = out.shape
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(bb, n, h * d)
+
+    def test_t2i_shape_unmasked(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_cross_attention
+
+        b, nq, nk, heads, dh = 3, 55, 4096, 8, 16
+        qp = jnp.asarray(rng.standard_normal((b, nq, heads * dh)), jnp.float32) * 0.3
+        kp = jnp.asarray(rng.standard_normal((b, nk, heads * dh)), jnp.float32) * 0.3
+        vp = jnp.asarray(rng.standard_normal((b, nk, heads * dh)), jnp.float32) * 0.3
+        out = fused_cross_attention(qp, kp, vp, heads=heads, divisor=dh ** 0.5)
+        ref = self._xla_ref(qp, kp, vp, heads)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_i2t_shape_masked(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_cross_attention
+
+        b, nq, nk, heads, dh = 2, 4096, 55, 8, 16
+        qp = jnp.asarray(rng.standard_normal((b, nq, heads * dh)), jnp.float32) * 0.3
+        kp = jnp.asarray(rng.standard_normal((b, nk, heads * dh)), jnp.float32) * 0.3
+        vp = jnp.asarray(rng.standard_normal((b, nk, heads * dh)), jnp.float32) * 0.3
+        valid = jnp.asarray(rng.random((b, nk)) > 0.3)
+        out = fused_cross_attention(qp, kp, vp, heads=heads,
+                                    divisor=dh ** 0.5, kv_valid=valid)
+        ref = self._xla_ref(qp, kp, vp, heads, valid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bf16_close(self, rng):
+        from sam_pt_tpu.ops.flash_attention import fused_cross_attention
+
+        b, nq, nk, heads, dh = 2, 16, 1024, 4, 16
+        qp = jnp.asarray(rng.standard_normal((b, nq, heads * dh)),
+                         jnp.bfloat16) * 0.3
+        kp = jnp.asarray(rng.standard_normal((b, nk, heads * dh)),
+                         jnp.bfloat16) * 0.3
+        vp = jnp.asarray(rng.standard_normal((b, nk, heads * dh)),
+                         jnp.bfloat16) * 0.3
+        out = fused_cross_attention(qp, kp, vp, heads=heads, divisor=dh ** 0.5)
+        ref = self._xla_ref(qp, kp, vp, heads)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.05)
