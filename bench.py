@@ -25,6 +25,8 @@ per-stage split embedded alongside the headline keys).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -37,16 +39,40 @@ BASELINE_FPS = 1.4  # reference SAM ViT-H (+PIPS tracker), 1 GPU (BASELINE.md)
 # 1-5 objects). 205 frames total per schedule pass.
 SCHEDULE = [(35, 1), (70, 3), (100, 5)]
 
+_T0 = time.perf_counter()
+
+
+def note(msg):
+    """Stderr heartbeat so a driver timeout still leaves evidence of where
+    the run was (VERDICT r4 #1b)."""
+    print(f"[bench +{time.perf_counter() - _T0:5.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def random_params(init_shape_fn, seed=1, dtype=jnp.bfloat16):
+    """Whole parameter tree from ONE device program (VERDICT r4 #1a).
+
+    The previous per-leaf version issued one tiny dispatch per parameter
+    (~640 for ViT-H), each paying the ~28 ms tunnel RTT — 2-8 minutes of
+    pure overhead. Here a single jitted program draws one flat normal vector
+    and statically slices it into every leaf: one dispatch, one compile
+    (trivial program: RNG + slices + reshapes), cached persistently.
+    """
     shapes = jax.eval_shape(init_shape_fn)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
-    return jax.tree_util.tree_unflatten(
-        treedef,
-        [jax.random.normal(k, l.shape, dtype) * 0.02
-         for k, l in zip(keys, leaves)],
-    )
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    @jax.jit
+    def gen(key):
+        flat = jax.random.normal(key, (int(offsets[-1]),), dtype) * 0.02
+        return [
+            jax.lax.slice_in_dim(flat, int(o), int(o) + s).reshape(l.shape)
+            for o, s, l in zip(offsets[:-1], sizes, leaves)
+        ]
+
+    vals = jax.block_until_ready(gen(jax.random.PRNGKey(seed)))
+    return jax.tree_util.tree_unflatten(treedef, vals)
 
 
 def build_pipeline(variant="vit_h"):
@@ -111,7 +137,12 @@ def make_video(n_frames, n_masks, h, w, seed):
     }
 
 
-def bench_full_pipeline(sam_pt=None, h=480, w=854):
+def bench_full_pipeline(sam_pt=None, h=480, w=854, deadline=None):
+    """Returns (fps, info). `deadline` (perf_counter timestamp) degrades the
+    run instead of overrunning the driver budget (VERDICT r4 #1c): extra
+    warm shapes are dropped first, then timed passes are cut from 5 toward
+    1. info records the actual schedule, all pass times, and what degraded.
+    """
     from sam_pt_tpu.vos_eval.eval import device_fuse_index_masks
 
     if sam_pt is None:
@@ -126,27 +157,64 @@ def bench_full_pipeline(sam_pt=None, h=480, w=854):
             out["logits"], video["query_masks"], [0] * n_masks, defer=True
         )  # fusion dispatched; uint8 download deferred
 
-    for v in videos:  # warm every (frames, masks) program once
-        dispatch_once(v).get()
+    def left():
+        return float("inf") if deadline is None else deadline - time.perf_counter()
+
+    # Warm every (frames, masks) program once — canonical (70,3) shape
+    # first so a tight budget still yields a representative measurement.
+    # Dropping a shape only forfeits its compile, never correctness.
+    warm_order = [1, 0, 2]
+    warmed, degraded = [], []
+    for rank, idx in enumerate(warm_order):
+        if rank > 0 and left() < 150:
+            degraded.append(f"dropped shape {SCHEDULE[idx]} (budget)")
+            note(f"budget guard: dropping warm of shape {SCHEDULE[idx]}, "
+                 f"{left():.0f}s left")
+            continue
+        t0 = time.perf_counter()
+        dispatch_once(videos[idx]).get()
+        note(f"warmed shape {SCHEDULE[idx]} in "
+             f"{time.perf_counter() - t0:.1f}s")
+        warmed.append(idx)
+    sched = [videos[i] for i in sorted(warmed)]
 
     # The eval harness pipelines videos: video i's uint8 download resolves
     # while video i+1 computes (vos_eval/eval.py cross-video pipelining).
-    # Measure the same schedule; median of 5 runs (the tunnel's transfer
-    # path has a slow mode that can double a single schedule pass, measured
-    # 23-46 s for identical work — the median rides it out).
-    total_frames = sum(t for t, _ in SCHEDULE)
+    # Measure the same schedule; median of up to 5 runs (the tunnel's
+    # transfer path has a slow mode that can double a single schedule pass,
+    # measured 23-46 s for identical work — the median rides it out).
+    total_frames = sum(SCHEDULE[i][0] for i in sorted(warmed))
     times = []
-    for _ in range(5):
+    for i in range(5):
+        if i > 0 and left() < 1.3 * times[-1] + 10:
+            degraded.append(f"cut to {i} timed passes (budget)")
+            note(f"budget guard: stopping after {i} timed passes, "
+                 f"{left():.0f}s left")
+            break
         t0 = time.perf_counter()
         pending = None
-        for v in videos:
+        for v in sched:
             nxt = dispatch_once(v)
             if pending is not None:
                 pending.get()
             pending = nxt
         pending.get()
         times.append(time.perf_counter() - t0)
-    return total_frames / sorted(times)[1]
+        note(f"timed pass {i + 1}: {times[-1]:.2f}s "
+             f"({total_frames / times[-1]:.2f} fps)")
+    # Same statistic every round has quoted: 2nd-fastest of the passes
+    # (rides out the tunnel's slow-transfer outliers); fastest when the
+    # budget guard left fewer than 3 passes.
+    fps = total_frames / sorted(times)[1 if len(times) >= 3 else 0]
+    info = {
+        "schedule": [
+            {"frames": SCHEDULE[i][0], "masks": SCHEDULE[i][1]}
+            for i in sorted(warmed)
+        ],
+        "pass_times_s": [round(t, 3) for t in times],
+        "degraded": degraded,
+    }
+    return fps, info
 
 
 def stage_split(sam_pt=None, n_frames=70, n_masks=3,
@@ -256,30 +324,53 @@ def encoder_mfu(stages, n_frames=70):
 
 
 def main():
+    """Budgeted bench (VERDICT r4 #1): BENCH_BUDGET_S (default 540 s —
+    inside the driver's 600 s timeout) is a hard wall-clock target. The
+    headline JSON line is printed the moment the pipelined fps exists;
+    the stage split / MFU extras only run if budget remains, and re-print
+    an ENRICHED record as a later line (both lines are complete, valid
+    records — whichever one a parser takes, the headline is there).
+    """
     from sam_pt_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    deadline = _T0 + budget
 
     try:
+        note(f"budget {budget:.0f}s; building pipeline (single-program "
+             "param init)")
         sam_pt = build_pipeline()
-        fps = bench_full_pipeline(sam_pt)
-        stages = stage_split(sam_pt)
-        enc_pct, mfu_regression = encoder_mfu(stages)
+        setup_s = time.perf_counter() - _T0
+        note(f"pipeline built in {setup_s:.1f}s; warming + timing")
+        fps, info = bench_full_pipeline(sam_pt, deadline=deadline)
         record = {
             "metric": "sam_pt_e2e_fps_vith_cotracker_davis480p",
             "value": round(float(fps), 3),
             "unit": "frames/sec/chip",
             "vs_baseline": round(float(fps) / BASELINE_FPS, 2),
-            "schedule": [{"frames": t, "masks": m} for t, m in SCHEDULE],
-            "stages_serialized_70f_3m_s": stages,
+            "schedule": info["schedule"],
+            "pass_times_s": info["pass_times_s"],
+            "setup_s": round(setup_s, 1),
         }
+        if info["degraded"]:
+            record["degraded"] = info["degraded"]
+        print(json.dumps(record), flush=True)  # headline lands NOW
+
+        remaining = deadline - time.perf_counter()
+        if remaining < 120:
+            note(f"budget guard: skipping stage split ({remaining:.0f}s "
+                 "left); headline record above is final")
+            return
+        note(f"stage split ({remaining:.0f}s left)")
+        stages = stage_split(sam_pt)
+        enc_pct, mfu_regression = encoder_mfu(stages)
+        record["stages_serialized_70f_3m_s"] = stages
         if enc_pct is not None:
             record["encoder_pct_of_sustained"] = enc_pct
             record["mfu_regression"] = mfu_regression
-        print(json.dumps(record))
-        if mfu_regression:
-            import sys
-
+        print(json.dumps(record), flush=True)  # enriched record
+        if enc_pct is not None and mfu_regression:
             print(
                 f"WARNING: encoder MFU {enc_pct}% is >10% below the "
                 "committed ROOFLINE.json value — a change regressed encode.",
