@@ -43,6 +43,7 @@ class ConvT2x2(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (2, 2, c, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)  # match nn.ConvTranspose(dtype=...) promotion
         # [2, 2, C, O] -> [C, 2*2*O] so one matmul emits all four sub-pixels.
         # lax.conv_transpose (transpose_kernel=False, flax default) applies
         # the kernel spatially FLIPPED: out[2i+dy, 2j+dx] uses k[1-dy, 1-dx]
@@ -64,6 +65,10 @@ class Conv2x2Down(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (
+            f"Conv2x2Down requires even H/W (got {h}x{w}): the block "
+            "reshape cannot express nn.Conv's SAME padding of odd inputs"
+        )
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (2, 2, c, self.features)
         )

@@ -410,8 +410,11 @@ def fused_cross_attention(
         if masked else jnp.zeros((b, 1, 1), q.dtype)
     )  # [B, 1, Nk]
 
-    # VMEM per element: q/out Nq*ch, k/v Nk*ch (bf16) + f32 logits scratch.
-    per_elem = 2 * (2 * nq * ch + 2 * nk * ch) + 8 * nq * nk
+    # VMEM per batch element: q/out Nq*ch, k/v Nk*ch at the INPUT dtype's
+    # width (bf16 on the bench path, f32 in tests/debug runs — sizing for
+    # bf16 under f32 inputs doubled the real footprint) + f32 logits scratch.
+    itemsize = jnp.dtype(q.dtype).itemsize
+    per_elem = itemsize * (2 * nq * ch + 2 * nk * ch) + 8 * nq * nk
     budget = int(10 * 1024 * 1024)
     group = next((g for g in (8, 6, 4, 3, 2, 1)
                   if b % g == 0 and g * per_elem <= budget), 1)
