@@ -84,6 +84,7 @@ def build_pipeline(variant="vit_h"):
     )
 
     model = Sam(encoder_variant=variant, dtype=jnp.bfloat16)
+    note("init: SAM param tree")
     params = random_params(
         lambda: model.init(
             jax.random.PRNGKey(0),
@@ -99,7 +100,9 @@ def build_pipeline(variant="vit_h"):
         support_grid_size=2, support_grid_every_n_frames=12,
         dtype=jnp.bfloat16,
     )
+    note("init: tracker param tree")
     tracker.init_params(jax.random.PRNGKey(0), 64, 64)
+    note("init: done")
 
     # The reference's default sampler/point config
     # (/root/reference/configs/model/sam_pt.yaml): 16 kmedoids positives +
@@ -341,6 +344,12 @@ def main():
         note(f"budget {budget:.0f}s; building pipeline (single-program "
              "param init)")
         sam_pt = build_pipeline()
+        # The FIRST device->host fetch of a process can stall for minutes
+        # (transfer-path claim through the relay; measured 314 s for an 8x8
+        # fetch while compute RPCs ran at full speed). Absorb it here, named
+        # in the heartbeat, instead of inside the first warm's .get().
+        note("transfer warmup (first fetch can stall)")
+        np.asarray(jnp.zeros((8, 8)) + 1)
         setup_s = time.perf_counter() - _T0
         note(f"pipeline built in {setup_s:.1f}s; warming + timing")
         fps, info = bench_full_pipeline(sam_pt, deadline=deadline)

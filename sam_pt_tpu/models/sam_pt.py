@@ -889,9 +889,37 @@ class SamPt:
                         only_token0=True,
                     )
                     low, iou = masks[:, 0], iou[:, 0]
-                for _ in range(refine_iters):
-                    low, iou = self._box_refine_impl(
-                        params, emb, pts_model, lbl, low, iou, original_hw
+                if refine_iters:
+                    # The refinement passes are shape-identical, so a
+                    # while_loop compiles the body ONCE (the unrolled
+                    # 12-pass chain was a 10x larger HLO whose cold compile
+                    # through the remote toolchain ran past the driver's
+                    # whole bench budget). The loop also stops early at the
+                    # exact fixed point: when a pass leaves (low, iou)
+                    # bit-identical, every remaining pass — a deterministic
+                    # function of that state — would too, so the output
+                    # EQUALS the reference's unconditional 12 passes
+                    # (sam_pt.py:809-828) while most chunks converge in a
+                    # few passes. NaN logits compare unequal and simply
+                    # forfeit the early exit.
+                    def _cond(c):
+                        i, _, _, changed = c
+                        return jnp.logical_and(i < refine_iters, changed)
+
+                    def _body(c):
+                        i, low, iou, _ = c
+                        nlow, niou = self._box_refine_impl(
+                            params, emb, pts_model, lbl, low, iou,
+                            original_hw,
+                        )
+                        changed = jnp.logical_or(
+                            jnp.any(nlow != low), jnp.any(niou != iou)
+                        )
+                        return i + 1, nlow, niou, changed
+
+                    _, low, iou, _ = jax.lax.while_loop(
+                        _cond, _body,
+                        (jnp.int32(0), low, iou, jnp.bool_(True)),
                     )
                 if upscale:
                     up = predictor.upscale_logits(low, original_hw)

@@ -440,9 +440,29 @@ class SamPtInteractive(SamPt):
                 )
                 low = jnp.where(has_neg[:, None, None], m2[:, 0], low)
                 iou = jnp.where(has_neg, i2[:, 0], iou)
-                for _ in range(refine_iters):
-                    low, iou = self._box_refine_impl(
-                        params, emb, pts_model, lbl, low, iou, original_hw
+                if refine_iters:
+                    # while_loop with exact fixed-point early exit, same as
+                    # SamPt._get_chain_fn: compiles the pass body once and
+                    # stops when a pass leaves (low, iou) bit-identical —
+                    # output equals the unconditional unrolled loop.
+                    def _cond(c):
+                        i, _, _, changed = c
+                        return jnp.logical_and(i < refine_iters, changed)
+
+                    def _body(c):
+                        i, low, iou, _ = c
+                        nlow, niou = self._box_refine_impl(
+                            params, emb, pts_model, lbl, low, iou,
+                            original_hw,
+                        )
+                        changed = jnp.logical_or(
+                            jnp.any(nlow != low), jnp.any(niou != iou)
+                        )
+                        return i + 1, nlow, niou, changed
+
+                    _, low, iou, _ = jax.lax.while_loop(
+                        _cond, _body,
+                        (jnp.int32(0), low, iou, jnp.bool_(True)),
                     )
                 up = predictor.upscale_logits(low, original_hw)
                 return up, iou
