@@ -249,7 +249,8 @@ def stage_split(sam_pt=None, n_frames=70, n_masks=3,
         lambda: sam_pt.extract_query_points(images, masks, timesteps))
 
     def upload():
-        dev = jnp.asarray(images)
+        # same chunked path the orchestrator uses (see SamPt._upload_video)
+        dev = sam_pt._upload_video(images)
         dev.block_until_ready()
         return dev
 

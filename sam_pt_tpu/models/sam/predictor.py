@@ -66,7 +66,8 @@ class SamPredictor:
             data = NamedSharding(mesh, P(dp) if dp else P())
             self._data_sharding = data
             self._encode_jit = jax.jit(self._encode, in_shardings=(None, data),
-                                       out_shardings=data)
+                                       out_shardings=data,
+                                       static_argnums=(2,))
             self._decode_jit = jax.jit(self._decode)
         elif mesh is not None:
             from ...parallel.mesh import batch_sharding, replicate
@@ -75,19 +76,32 @@ class SamPredictor:
             data = batch_sharding(mesh)
             self._data_sharding = data
             self._encode_jit = jax.jit(self._encode, in_shardings=(None, data),
-                                       out_shardings=data)
+                                       out_shardings=data,
+                                       static_argnums=(2,))
             self._decode_jit = jax.jit(self._decode)
         else:
             self._data_sharding = None
-            self._encode_jit = jax.jit(self._encode)
+            self._encode_jit = jax.jit(self._encode, static_argnums=(2,))
             self._decode_jit = jax.jit(self._decode)
         self.params = params
 
     # ------------------------------------------------------------------
     # Encoding
     # ------------------------------------------------------------------
-    def _encode(self, params, resized_images: jnp.ndarray) -> jnp.ndarray:
-        return self.model.apply(params, resized_images, method=Sam.encode_images)
+    def _encode(
+        self, params, images: jnp.ndarray, target_hw: Tuple[int, int]
+    ) -> jnp.ndarray:
+        """Fused preprocess + encode: the longest-side resize runs INSIDE the
+        jitted program. The out-of-jit version re-uploaded ~4.6 MB of f32
+        resize weight matrices per chunk (`jnp.asarray` in ops/resize.py) and
+        dispatched six unfused layout/einsum ops — measured 17.9 ms/frame
+        standalone on the real chip, with its uploads contending against
+        video chunks for the tunnel's collapsed loaded bandwidth. In-jit the
+        matrices are compile-time constants and the ops fuse."""
+        x = resize_bilinear(
+            images.astype(jnp.float32), target_hw, antialias=self.antialias
+        )
+        return self.model.apply(params, x, method=Sam.encode_images)
 
     def encode_frames(
         self, images: jnp.ndarray, original_hw: Tuple[int, int]
@@ -95,22 +109,18 @@ class SamPredictor:
         """images: [B, H, W, 3] uint8/float RGB in original resolution.
 
         Returns image embeddings [B, g, g, 256]. The longest-side resize is a
-        matmul-based op and runs on device as part of the program.
+        matmul-based op and runs on device as part of the jitted program.
         """
-        th, tw = get_longest_side_target_hw(
+        target_hw = get_longest_side_target_hw(
             original_hw[0], original_hw[1], self.model.image_size
         )
-        images = resize_bilinear(
-            jnp.asarray(images).astype(jnp.float32),
-            (th, tw),
-            antialias=self.antialias,
-        )
+        images = jnp.asarray(images)
         if self.mesh is not None and getattr(self.model, "tp_axis", None):
             # bare-P sharding constraints inside the encoder need a mesh
             # context at trace time
             with jax.set_mesh(self.mesh):
-                return self._encode_jit(self.params, images)
-        return self._encode_jit(self.params, images)
+                return self._encode_jit(self.params, images, target_hw)
+        return self._encode_jit(self.params, images, target_hw)
 
     # ------------------------------------------------------------------
     # Decoding

@@ -226,14 +226,11 @@ class SamPt:
             images = images.transpose(0, 2, 3, 1)  # accept NCHW input
         assert images.dtype == np.uint8, "Input images must be uint8 (0-255)"
         t, h, w, _ = images.shape
-        # Upload the video ONCE; trackers and the SAM encoder share this copy
-        # (uint8 on device; casting/resizing happen on device). On the plain
-        # path the upload is chunked and each SAM encode chunk is dispatched
-        # immediately, so chunk i+1's host->device transfer rides under
-        # chunk i's encoder compute — the transfer is the second-largest
-        # pipeline cost after the encoder itself.
+        # Upload the video ONCE (single device_put; see _upload_and_encode);
+        # trackers and the SAM encoder share this copy (uint8 on device;
+        # casting/resizing happen on device inside the jitted programs).
         if self.use_point_reinit:
-            self._images_dev = jnp.asarray(images)
+            self._images_dev = self._upload_video(images)
             self._early_emb = None
         else:
             self._images_dev, self._early_emb = self._upload_and_encode(images)
@@ -790,7 +787,9 @@ class SamPt:
 
         Returns (device uint8 video [T, H, W, 3], embeddings [T, g, g, 256]).
         Uploading chunk i+1 overlaps the device encoding chunk i, hiding most
-        of the transfer latency behind encoder compute.
+        of the transfer latency behind encoder compute. (A single whole-video
+        `device_put` was tried in r5 — faster in isolation, ~2x slower inside
+        the pipelined loop; see `_upload_video`.)
         """
         t = images.shape[0]
         ec = self.sam_encode_chunk
@@ -818,9 +817,25 @@ class SamPt:
         )
         return video, emb
 
+    def _upload_video(self, images: np.ndarray) -> jnp.ndarray:
+        """Chunked host->device transfer of a whole uint8 video.
+
+        A single whole-video `jax.device_put` measures FASTER in isolation
+        (1711 vs 174 MB/s, scripts/diag_upload.py) but ~equal-to-2x SLOWER
+        inside the pipelined eval loop (scripts/ab_upload_path.py, same-
+        process A/B over the full bench schedule) — the big blocking
+        transfer serializes against in-flight compute dispatch, while
+        chunked `jnp.asarray` uploads interleave with it. Keep chunks.
+        """
+        ec = self.sam_encode_chunk
+        chunks = [jnp.asarray(images[i : i + ec])
+                  for i in range(0, images.shape[0], ec)]
+        return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
     def _encode_all_frames(self, images) -> jnp.ndarray:
         """images: [T, H, W, 3] uint8 (numpy or already on device)."""
-        images = jnp.asarray(images)  # no-op if already a device array
+        if not isinstance(images, jax.Array):
+            images = self._upload_video(np.asarray(images))
         t = images.shape[0]
         chunks = []
         ec = self.sam_encode_chunk

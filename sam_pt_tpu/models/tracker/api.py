@@ -86,7 +86,6 @@ def as_device_video(rgbs) -> "jax.Array":
     low-bandwidth interconnects).
     """
     import jax
-    import jax.numpy as jnp
 
     # NOTE: must be an isinstance check — numpy>=2.0 ndarrays also expose a
     # `.device` attribute, and a hasattr test would return the HOST array
@@ -94,7 +93,10 @@ def as_device_video(rgbs) -> "jax.Array":
     if isinstance(rgbs, jax.Array):
         arr = rgbs
     else:
-        arr = jnp.asarray(np.asarray(rgbs))
+        # ONE explicit device_put: the jnp.asarray upload path measured
+        # ~10x below device_put wire speed on the loaded remote tunnel
+        # (scripts/diag_upload.py, r5).
+        arr = jax.device_put(np.asarray(rgbs), jax.devices()[0])
     if arr.ndim == 5:
         arr = arr[0]
     return arr

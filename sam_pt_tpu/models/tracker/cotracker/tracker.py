@@ -83,11 +83,17 @@ class CoTrackerPointTracker(PointTracker):
                 )
         self.params = params
 
-        self._encode = jax.jit(
-            lambda p, rgbs: self.model.apply(
-                p, rgbs, method=CoTracker.encode_frames
-            )
-        )
+        # interp_shape resize fused INSIDE the jitted encode: out-of-jit it
+        # re-uploaded the f32 resize matrices per video and round-tripped the
+        # whole video through f32 HBM layout copies before the CNN (same
+        # lesson as SamPredictor._encode; target_hw=None skips the resize).
+        def _encode_fn(p, rgbs, target_hw):
+            x = rgbs.astype(jnp.float32)
+            if target_hw is not None and tuple(target_hw) != x.shape[1:3]:
+                x = resize_bilinear(x, target_hw)
+            return self.model.apply(p, x, method=CoTracker.encode_frames)
+
+        self._encode = jax.jit(_encode_fn, static_argnums=(2,))
 
     def init_params(self, key, height: int = 64, width: int = 64,
                     n_points: int = 4):
@@ -108,7 +114,9 @@ class CoTrackerPointTracker(PointTracker):
         return self.params
 
     # ------------------------------------------------------------------
-    def _encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
+    def _encode_video(
+        self, rgbs: np.ndarray, target_hw=None
+    ) -> jnp.ndarray:
         t = rgbs.shape[0]
         out = []
         ec = self.encode_chunk
@@ -119,7 +127,8 @@ class CoTrackerPointTracker(PointTracker):
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], 0
                 )
-            out.append(self._encode(self.params, chunk)[: ec - pad])
+            out.append(
+                self._encode(self.params, chunk, target_hw)[: ec - pad])
         return jnp.concatenate(out, axis=0)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
@@ -236,7 +245,8 @@ class CoTrackerPointTracker(PointTracker):
 
         ih, iw = self.interp_shape or (h, w)
         if (ih, iw) != (h, w):
-            video = resize_bilinear(video.astype(jnp.float32), (ih, iw))
+            # The video itself is resized INSIDE the jitted per-chunk encode
+            # (_encode_video target_hw); only the queries scale here.
             qp = qp.copy()
             qp[:, 1] *= iw / w
             qp[:, 2] *= ih / h
@@ -268,12 +278,13 @@ class CoTrackerPointTracker(PointTracker):
         # params object — reloading weights must invalidate the features)
         # and skip the CNN encoder on repeat calls.
         cache = getattr(self, "_fmap_cache", None)
+        ckey = (video.shape, (ih, iw))
         if (cache is not None and cache[0] is rgbs
-                and cache[1] == video.shape and cache[2] is self.params):
+                and cache[1] == ckey and cache[2] is self.params):
             fmaps = cache[3]
         else:
-            fmaps = self._encode_video(video)
-            self._fmap_cache = (rgbs, video.shape, self.params, fmaps)
+            fmaps = self._encode_video(video, (ih, iw))
+            self._fmap_cache = (rgbs, ckey, self.params, fmaps)
         traj_f, vis_f = self._track_jit(
             self.params, fmaps, jnp.asarray(queries), t)
 
