@@ -63,11 +63,17 @@ class PipsPlusPlusPointTracker(PointTracker):
                 )
         self.params = params
 
-        self._encode = jax.jit(
-            lambda p, rgbs: self.model.apply(
-                p, rgbs, method=PipsPlusPlus.encode_frames
-            )
-        )
+        # f32 cast + image_size resize fused INSIDE the jitted encode: the
+        # out-of-jit version cast the whole video to f32 on the HOST (4x
+        # wire traffic) and round-tripped the resize device->host->device
+        # (same lesson as CoTrackerPointTracker; target_hw=None skips).
+        def _encode_fn(p, rgbs, target_hw):
+            x = rgbs.astype(jnp.float32)
+            if target_hw is not None and tuple(target_hw) != x.shape[1:3]:
+                x = resize_bilinear(x, target_hw)
+            return self.model.apply(p, x, method=PipsPlusPlus.encode_frames)
+
+        self._encode = jax.jit(_encode_fn, static_argnums=(2,))
         self._window = jax.jit(
             lambda p, fm, ci, fi: self.model.apply(
                 p, fm, ci, fi, iters=self.iters
@@ -89,7 +95,9 @@ class PipsPlusPlusPointTracker(PointTracker):
                                   method=_init_all)
         return self.params
 
-    def _encode_video(self, rgbs: np.ndarray) -> jnp.ndarray:
+    def _encode_video(
+        self, rgbs: np.ndarray, target_hw=None
+    ) -> jnp.ndarray:
         t = rgbs.shape[0]
         out = []
         ec = self.encode_chunk
@@ -100,7 +108,8 @@ class PipsPlusPlusPointTracker(PointTracker):
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], 0
                 )
-            out.append(self._encode(self.params, chunk)[: ec - pad])
+            out.append(
+                self._encode(self.params, chunk, target_hw)[: ec - pad])
         return jnp.concatenate(out, axis=0)
 
     def _forward_direction(self, fmaps, query_xy: np.ndarray) -> np.ndarray:
@@ -141,23 +150,23 @@ class PipsPlusPlusPointTracker(PointTracker):
         assert rgbs.shape[0] == 1, "PIPS++ runs per-video"
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
-        video = np.asarray(rgbs, np.float32)[0]
+        from ..api import as_device_video
+
+        video = as_device_video(rgbs)  # uploaded once, native dtype
         qp = np.asarray(query_points, np.float32)[0]
         t, h, w, _ = video.shape
         n = qp.shape[0]
 
         if self.image_size is not None and (h, w) != self.image_size:
+            # the video resize happens INSIDE the jitted per-chunk encode
             ih, iw = self.image_size
-            video = np.asarray(
-                resize_bilinear(jnp.asarray(video), (ih, iw))
-            )
             qp = qp.copy()
             qp[:, 1] *= iw / w
             qp[:, 2] *= ih / h
         else:
             ih, iw = h, w
 
-        fmaps = self._encode_video(video)
+        fmaps = self._encode_video(video, (ih, iw))
         fmaps_flipped = fmaps[::-1]
 
         groups = defaultdict(list)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,19 @@ from ..api import PointTracker
 from .model import TAPIR, TRAIN_SIZE
 from ....ops.resize import resize_bilinear
 from ....utils.util import jitted_init
+
+
+# uint8 video -> TAPIR-normalized f32 frames at TRAIN_SIZE, as ONE jitted
+# program: out-of-jit the resize re-uploaded its weight matrices per call
+# and dispatched unfused f32 layout copies of the whole video (r5 lesson,
+# see SamPredictor._encode).
+@functools.partial(jax.jit, static_argnums=(1,))
+def _resize_norm_dev(video, target_hw):
+    x = resize_bilinear(
+        video.astype(jnp.float32), target_hw,
+        antialias=True,  # reference uses antialiased resize
+    )
+    return x / 255.0 * 2.0 - 1.0
 
 
 class TapirPointTracker(PointTracker):
@@ -97,14 +112,10 @@ class TapirPointTracker(PointTracker):
         # resize + normalization stay on device: the video uploads once as
         # uint8 (4x less wire traffic than float32) and never round-trips
         # back to the host
-        frames_dev = (
-            # antialias: the reference downsamples with antialias=True
-            # (tapir/tracker.py:86-87) — a triangle filter, not plain
-            # bilinear; matters for parity at 480p -> 256
-            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE,
-                            antialias=True)
-            / 255.0 * 2.0 - 1.0
-        )
+        # antialias: the reference downsamples with antialias=True
+        # (tapir/tracker.py:86-87) — a triangle filter, not plain
+        # bilinear; matters for parity at 480p -> 256
+        frames_dev = _resize_norm_dev(video, TRAIN_SIZE)
 
         # (t, x, y) -> scaled (t, y, x) in 256-raster coords
         q_tyx = np.stack(
@@ -185,11 +196,8 @@ class OnlineTapirPointTracker:
     def _prep(self, frame: np.ndarray) -> jnp.ndarray:
         h, w = frame.shape[:2]
         self._hw = (h, w)
-        f = resize_bilinear(
-            jnp.asarray(frame.astype(np.float32))[None], TRAIN_SIZE,
-            antialias=True,  # reference tapir/tracker.py:86-87
-        )
-        return f / 255.0 * 2.0 - 1.0
+        # reference tapir/tracker.py:86-87 (antialias inside the helper)
+        return _resize_norm_dev(jnp.asarray(frame)[None], TRAIN_SIZE)
 
     def init_tracking(self, frame: np.ndarray, query_xy: np.ndarray) -> None:
         """frame [H, W, 3] uint8; query_xy [N, 2] (x, y) pixel coords."""

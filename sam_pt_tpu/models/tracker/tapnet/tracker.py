@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,19 @@ from ..api import PointTracker
 from .model import TAPNet, TRAIN_SIZE
 from ....ops.resize import resize_bilinear
 from ....utils.util import jitted_init
+
+
+# uint8 video -> TAPIR-normalized f32 frames at TRAIN_SIZE, as ONE jitted
+# program: out-of-jit the resize re-uploaded its weight matrices per call
+# and dispatched unfused f32 layout copies of the whole video (r5 lesson,
+# see SamPredictor._encode).
+@functools.partial(jax.jit, static_argnums=(1,))
+def _resize_norm_dev(video, target_hw):
+    x = resize_bilinear(
+        video.astype(jnp.float32), target_hw,
+        antialias=True,  # reference uses antialiased resize
+    )
+    return x / 255.0 * 2.0 - 1.0
 
 
 class TapNetPointTracker(PointTracker):
@@ -88,12 +103,8 @@ class TapNetPointTracker(PointTracker):
         n = qp.shape[0]
 
         # resize + normalization on device; the video uploads once as uint8
-        frames_dev = (
-            # reference downsamples with antialias=True (tapnet/tracker.py:80)
-            resize_bilinear(video.astype(jnp.float32), TRAIN_SIZE,
-                            antialias=True)
-            / 255.0 * 2.0 - 1.0
-        )
+        # reference downsamples with antialias=True (tapnet/tracker.py:80)
+        frames_dev = _resize_norm_dev(video, TRAIN_SIZE)
 
         q_tyx = np.stack(
             [
