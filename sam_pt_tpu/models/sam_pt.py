@@ -134,6 +134,7 @@ class SamPt:
         fail_on_empty_reinit_mask: bool = False,
         sam_decode_chunk: int = 32,
         sam_encode_chunk: int = 4,
+        upload_chunk: Optional[int] = None,
         seed: int = 72,
         data_parallel: bool = False,
         mesh=None,
@@ -162,6 +163,13 @@ class SamPt:
         self.fail_on_empty_reinit_mask = fail_on_empty_reinit_mask
         self.sam_decode_chunk = sam_decode_chunk
         self.sam_encode_chunk = sam_encode_chunk
+        # host->device transfer granularity, decoupled from the encode
+        # program granularity: each upload call pays a ~28 ms fixed cost on
+        # remote-attached runtimes, so fewer/bigger transfers win — but one
+        # whole-video blocking transfer stalls the compute dispatch pipeline
+        # (scripts/ab_upload_path.py). Must be a multiple of
+        # sam_encode_chunk; None = same as sam_encode_chunk.
+        self.upload_chunk = upload_chunk
         # dtype of the upscaled full-res logits planes. float16 halves the
         # device->host transfer and its ~2^-10 relative rounding sits far
         # below SAM's mask-boundary noise floor (logits are O(10) with a 0.0
@@ -793,21 +801,27 @@ class SamPt:
         """
         t = images.shape[0]
         ec = self.sam_encode_chunk
+        uc = self.upload_chunk or ec
+        assert uc % ec == 0, (uc, ec)
         hw = (images.shape[1], images.shape[2])
         dev_chunks, emb_chunks = [], []
-        for i in range(0, t, ec):
-            dev = jnp.asarray(images[i : i + ec])
+        for u in range(0, t, uc):
+            dev = jnp.asarray(images[u : u + uc])
             dev_chunks.append(dev)
-            pad = ec - dev.shape[0]
-            chunk = dev
-            if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+            # encode `ec`-frame device slices of the uploaded block; the
+            # next block's transfer rides under these encodes
+            for i in range(0, dev.shape[0], ec):
+                chunk = dev[i : i + ec]
+                pad = ec - chunk.shape[0]
+                if pad:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+                    )
+                emb = self.sam_predictor.encode_frames(
+                    self._shard(chunk), hw)
+                emb_chunks.append(
+                    jax.tree_util.tree_map(lambda a: a[: ec - pad], emb)
                 )
-            emb = self.sam_predictor.encode_frames(self._shard(chunk), hw)
-            emb_chunks.append(
-                jax.tree_util.tree_map(lambda a: a[: ec - pad], emb)
-            )
         video = (
             jnp.concatenate(dev_chunks, axis=0)
             if len(dev_chunks) > 1 else dev_chunks[0]
@@ -827,9 +841,9 @@ class SamPt:
         transfer serializes against in-flight compute dispatch, while
         chunked `jnp.asarray` uploads interleave with it. Keep chunks.
         """
-        ec = self.sam_encode_chunk
-        chunks = [jnp.asarray(images[i : i + ec])
-                  for i in range(0, images.shape[0], ec)]
+        uc = self.upload_chunk or self.sam_encode_chunk
+        chunks = [jnp.asarray(images[i : i + uc])
+                  for i in range(0, images.shape[0], uc)]
         return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
 
     def _encode_all_frames(self, images) -> jnp.ndarray:
