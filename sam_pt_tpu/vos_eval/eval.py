@@ -157,6 +157,12 @@ class PendingIndexMasks:
 
     def get(self) -> np.ndarray:
         out = np.zeros((self._t, self._h, self._w), np.uint8)
+        for masks, _, _ in self._chunks:
+            # start ALL device->host copies before collecting any: serial
+            # np.asarray paid one full tunnel RTT per chunk (~26 ms x 5-7
+            # chunks per video) before the next transfer even started
+            if hasattr(masks, "copy_to_host_async"):
+                masks.copy_to_host_async()
         for masks, i, end in self._chunks:
             got = np.asarray(masks)[: end - i]
             if self._packed:  # two pixels per byte along W
