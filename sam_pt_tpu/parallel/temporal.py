@@ -79,6 +79,15 @@ def _forward_time_sharded(
             check_vma=False,
         ))
         _JITTED[key] = jitted
+    # Explicit mesh placement: inputs may arrive COMMITTED to a single
+    # device (e.g. outputs of an unsharded jit like the trackers' fused
+    # resize+normalize programs), which jit(shard_map) over the mesh
+    # rejects instead of resharding. device_put makes the placement ours.
+    from jax.sharding import NamedSharding
+
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    video = jax.device_put(video, NamedSharding(mesh, P(axis)))
+    query_points = jax.device_put(query_points, NamedSharding(mesh, P()))
     outs = jitted(params, video, query_points)
     return {k: v[:, :t] for k, v in zip(out_keys, outs)}
 
