@@ -926,11 +926,14 @@ class SamPt:
                     # whole bench budget). The loop also stops early at the
                     # exact fixed point: when a pass leaves (low, iou)
                     # bit-identical, every remaining pass — a deterministic
-                    # function of that state — would too, so the output
-                    # EQUALS the reference's unconditional 12 passes
-                    # (sam_pt.py:809-828) while most chunks converge in a
-                    # few passes. NaN logits compare unequal and simply
-                    # forfeit the early exit.
+                    # function of that state — would too, so the output is
+                    # BIT-EQUAL to running this same compiled body
+                    # unconditionally refine_iters times (pinned by
+                    # tests/test_refine_while_loop.py), i.e. the
+                    # reference's 12-pass semantics (sam_pt.py:809-828),
+                    # while most chunks converge in a few passes. NaN
+                    # logits compare unequal and simply forfeit the early
+                    # exit.
                     def _cond(c):
                         i, _, _, changed = c
                         return jnp.logical_and(i < refine_iters, changed)
