@@ -23,6 +23,8 @@ import pytest
 
 from sam_pt_tpu.utils.testing import build_tiny_sam_pt
 
+pytestmark = pytest.mark.slow  # ~4 min of tiny-model forwards on CPU
+
 
 def _make_video(t=5, h=48, w=64, n_masks=2):
     rng = np.random.default_rng(7)
